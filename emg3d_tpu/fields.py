@@ -1,0 +1,606 @@
+"""Electromagnetic fields on staggered Yee grids, as JAX pytrees.
+
+TPU-native re-design of the reference's field layer
+(/root/reference/emg3d/fields.py).  Differences:
+
+- A :class:`Field` is a *pytree* of three struct-of-arrays components
+  ``fx (nx, ny+1, nz+1)``, ``fy (nx+1, ny, nz+1)``, ``fz (nx+1, ny+1, nz)``
+  in C-order — not the reference's flat Fortran-ordered 1-D array with
+  strided views.  The flat layout is still available via ``.field`` for
+  serialization parity.
+- Fields are functional: operations return new instances; device code
+  treats them as pytrees (jit/vmap/shard_map compatible).
+- Host-side construction (source distribution, receivers) is vectorized
+  numpy; device compute lives in :mod:`emg3d_tpu.ops`.
+"""
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.constants import mu_0
+from scipy.special import cosdg, sindg
+
+from . import maps, utils
+from .dtypes import complex_dtype, real_dtype
+
+__all__ = ['Field', 'SourceField', 'get_source_field', 'get_receiver',
+           'get_receiver_response', 'get_h_field']
+
+
+@jax.tree_util.register_pytree_node_class
+class Field:
+    """Electric (or magnetic) field with x/y/z edge components.
+
+    Parameters
+    ----------
+    fx, fy, fz : ndarray
+        The three field components (C-order, indexed [ix, iy, iz]).
+    frequency : float or None
+        Signed frequency: ``f > 0`` frequency domain (s = -2iπf),
+        ``f < 0`` Laplace domain (s = f, real fields).
+
+    Reference parity: emg3d/fields.py:34-365.
+    """
+
+    def __init__(self, fx, fy, fz, frequency=None):
+        self.fx = fx
+        self.fy = fy
+        self.fz = fz
+        self._frequency = frequency
+
+    # -- pytree protocol -------------------------------------------------
+
+    def tree_flatten(self):
+        return (self.fx, self.fy, self.fz), (self._frequency,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, frequency=aux[0])
+
+    # -- constructors ----------------------------------------------------
+
+    @classmethod
+    def zeros(cls, grid, frequency=None, dtype=None, xp=np):
+        """Zero field on ``grid`` (electric edge layout)."""
+        if dtype is None:
+            if frequency is None or frequency > 0:
+                dtype = complex_dtype()
+            else:
+                dtype = real_dtype()
+        return cls(xp.zeros(grid.shape_edges_x, dtype),
+                   xp.zeros(grid.shape_edges_y, dtype),
+                   xp.zeros(grid.shape_edges_z, dtype),
+                   frequency=frequency)
+
+    @classmethod
+    def from_flat(cls, grid, flat, frequency=None):
+        """Build from the reference's flat F-ordered 1-D layout."""
+        flat = np.asarray(flat)
+        nx_ = grid.n_edges_x
+        nz_ = grid.n_edges_z
+        fx = flat[:nx_].reshape(grid.shape_edges_x, order='F')
+        fy = flat[nx_:-nz_].reshape(grid.shape_edges_y, order='F')
+        fz = flat[-nz_:].reshape(grid.shape_edges_z, order='F')
+        return cls(np.ascontiguousarray(fx), np.ascontiguousarray(fy),
+                   np.ascontiguousarray(fz), frequency=frequency)
+
+    # -- basic info ------------------------------------------------------
+
+    @property
+    def shape(self):
+        return (self.fx.shape, self.fy.shape, self.fz.shape)
+
+    @property
+    def dtype(self):
+        return self.fx.dtype
+
+    @property
+    def size(self):
+        return self.fx.size + self.fy.size + self.fz.size
+
+    @property
+    def field(self):
+        """Flat 1-D array in the reference's F-ordered layout."""
+        return np.concatenate([np.asarray(self.fx).ravel(order='F'),
+                               np.asarray(self.fy).ravel(order='F'),
+                               np.asarray(self.fz).ravel(order='F')])
+
+    @property
+    def freq(self):
+        """Unsigned frequency (Hz)."""
+        return None if self._frequency is None else abs(self._frequency)
+
+    @property
+    def sval(self):
+        """Laplace parameter s: -2iπf (f-domain) or f (Laplace domain)."""
+        if self._frequency is None:
+            return None
+        if self._frequency < 0:
+            return np.float64(self._frequency)
+        return np.complex128(-2j * np.pi * self._frequency)
+
+    @property
+    def smu0(self):
+        """s·μ0."""
+        sval = self.sval
+        return None if sval is None else sval * mu_0
+
+    @property
+    def is_electric(self):
+        """Electric fields have fx.shape[0] < fy.shape[0]."""
+        return self.fx.shape[0] < self.fy.shape[0]
+
+    # -- functional updates ---------------------------------------------
+
+    def copy(self):
+        xp = jnp if isinstance(self.fx, jax.Array) else np
+        return Field(xp.array(self.fx), xp.array(self.fy), xp.array(self.fz),
+                     frequency=self._frequency)
+
+    def ensure_pec(self):
+        """Return field with tangential boundary edges zeroed (PEC)."""
+        from .ops.stencil import apply_pec
+        return apply_pec(self)
+
+    def astype(self, dtype):
+        return Field(self.fx.astype(dtype), self.fy.astype(dtype),
+                     self.fz.astype(dtype), frequency=self._frequency)
+
+    def to_device(self):
+        return Field(jnp.asarray(self.fx), jnp.asarray(self.fy),
+                     jnp.asarray(self.fz), frequency=self._frequency)
+
+    def to_host(self):
+        return Field(np.asarray(self.fx), np.asarray(self.fy),
+                     np.asarray(self.fz), frequency=self._frequency)
+
+    def norm(self):
+        """l2-norm over all components."""
+        if isinstance(self.fx, jax.Array):
+            return jnp.sqrt(sum(jnp.sum(jnp.abs(f)**2)
+                                for f in (self.fx, self.fy, self.fz)))
+        return np.sqrt(sum(np.sum(np.abs(np.asarray(f))**2)
+                           for f in (self.fx, self.fy, self.fz)))
+
+    # -- arithmetic ------------------------------------------------------
+
+    def _binop(self, other, op):
+        if isinstance(other, Field):
+            return Field(op(self.fx, other.fx), op(self.fy, other.fy),
+                         op(self.fz, other.fz), frequency=self._frequency)
+        return Field(op(self.fx, other), op(self.fy, other),
+                     op(self.fz, other), frequency=self._frequency)
+
+    def __add__(self, other):
+        return self._binop(other, lambda a, b: a + b)
+
+    def __sub__(self, other):
+        return self._binop(other, lambda a, b: a - b)
+
+    def __mul__(self, other):
+        return self._binop(other, lambda a, b: a * b)
+
+    def __rmul__(self, other):
+        return self._binop(other, lambda a, b: b * a)
+
+    def __truediv__(self, other):
+        return self._binop(other, lambda a, b: a / b)
+
+    def __neg__(self):
+        return Field(-self.fx, -self.fy, -self.fz,
+                     frequency=self._frequency)
+
+    # -- em helpers ------------------------------------------------------
+
+    def amp(self):
+        """Amplitude of the field (flat layout)."""
+        return utils.EMArray(self.field).amp()
+
+    def pha(self, deg=False, unwrap=True, lag=True):
+        """Phase of the field (flat layout)."""
+        return utils.EMArray(self.field).pha(deg, unwrap, lag)
+
+    # -- serialization ---------------------------------------------------
+
+    def to_dict(self, copy=False):
+        return {'field': self.field,
+                'freq': self._frequency,
+                'vnEx': self.fx.shape, 'vnEy': self.fy.shape,
+                'vnEz': self.fz.shape,
+                '__class__': self.__class__.__name__}
+
+    @classmethod
+    def from_dict(cls, inp):
+        try:
+            flat = np.asarray(inp['field'])
+            vnEx = tuple(np.asarray(inp['vnEx'], dtype=int))
+            vnEy = tuple(np.asarray(inp['vnEy'], dtype=int))
+            vnEz = tuple(np.asarray(inp['vnEz'], dtype=int))
+        except KeyError as e:
+            raise KeyError(f"Variable {e} missing in `inp`.") from e
+        nEx = int(np.prod(vnEx))
+        nEz = int(np.prod(vnEz))
+        fx = np.ascontiguousarray(flat[:nEx].reshape(vnEx, order='F'))
+        fy = np.ascontiguousarray(flat[nEx:-nEz].reshape(vnEy, order='F'))
+        fz = np.ascontiguousarray(flat[-nEz:].reshape(vnEz, order='F'))
+        freq = inp.get('freq', None)
+        if freq is not None:
+            freq = None if str(freq) == 'None' else float(freq)
+        return cls(fx, fy, fz, frequency=freq)
+
+    def __repr__(self):
+        return (f"{self.__class__.__name__}: {self.fx.shape} "
+                f"{self.fy.shape} {self.fz.shape}; freq={self._frequency}")
+
+
+@jax.tree_util.register_pytree_node_class
+class SourceField(Field):
+    """Source field s·μ0·Js; frequency is mandatory.
+
+    Reference parity: emg3d/fields.py:368-443.
+    """
+
+    def __init__(self, fx, fy, fz, frequency=None, src=None, strength=None,
+                 moment=None):
+        if frequency is None:
+            raise ValueError("SourceField requires a frequency.")
+        super().__init__(fx, fy, fz, frequency=frequency)
+        self.src = src
+        self.strength = strength
+        self.moment = moment
+
+    def tree_flatten(self):
+        return ((self.fx, self.fy, self.fz),
+                (self._frequency, self.src, self.strength, self.moment))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, frequency=aux[0], src=aux[1], strength=aux[2],
+                   moment=aux[3])
+
+    @classmethod
+    def zeros(cls, grid, frequency=None, dtype=None, xp=np):
+        base = Field.zeros(grid, frequency=frequency, dtype=dtype, xp=xp)
+        return cls(base.fx, base.fy, base.fz, frequency=frequency)
+
+    @property
+    def vector(self):
+        """The source vector Js (without s·μ0)."""
+        return self.field / self.smu0
+
+    @property
+    def vx(self):
+        return np.asarray(self.fx) / self.smu0
+
+    @property
+    def vy(self):
+        return np.asarray(self.fy) / self.smu0
+
+    @property
+    def vz(self):
+        return np.asarray(self.fz) / self.smu0
+
+
+# ----------------------------------------------------------------------
+# Source construction (host-side; reference: fields.py:446-631, 914-1010)
+# ----------------------------------------------------------------------
+
+def get_source_field(grid, src, freq, strength=0, electric=True, length=1.0,
+                     decimals=6):
+    """Return the source field s·μ0·Js for a dipole/loop/polyline source.
+
+    Source formats (reference parity, emg3d/fields.py:446-631):
+
+    - Finite dipole ``[x0, x1, y0, y1, z0, z1]``
+    - Point dipole ``[x, y, z, azimuth, dip]`` (-> finite dipole of
+      ``length``; with ``electric=False`` -> square loop ⊥ to dipole)
+    - Polyline ``[[x...], [y...], [z...]]`` (recursion over segments)
+
+    The source is distributed to cell edges with the adjoint of trilinear
+    interpolation of each in-cell segment's center of gravity.
+    """
+    if not np.allclose(np.size(src[0]), [np.size(c) for c in src]):
+        raise ValueError("All source coordinates must have the same "
+                         f"dimension. Provided source: {src}.")
+
+    src = np.asarray(src, dtype=np.float64)
+    strength = np.asarray(strength)
+
+    if src.shape == (5,):  # Point dipole.
+        if not electric:   # Magnetic -> square loop perpendicular to it.
+            src = _square_loop_from_point_dipole(src, length)
+        else:              # Electric -> finite dipole.
+            src = _finite_dipole_from_point_dipole(src, length)
+
+    if src.ndim > 1 and src.shape[0] == 3:  # Polyline: recurse segments.
+        sx, sy, sz = src
+        seg_len = np.sqrt(np.sum((src[:, :-1] - src[:, 1:])**2, axis=0))
+        if strength == 0:
+            seg_len = seg_len / seg_len.sum()
+        else:
+            seg_len = seg_len * strength
+
+        sfield = SourceField.zeros(grid, frequency=freq)
+        sfield.src = src
+        sfield.strength = strength
+        sfield.moment = np.zeros(3, dtype=seg_len.dtype)
+        for i in range(sx.size - 1):
+            seg = (sx[i], sx[i+1], sy[i], sy[i+1], sz[i], sz[i+1])
+            segf = get_source_field(grid, seg, freq, seg_len[i])
+            sfield = SourceField(
+                sfield.fx + segf.fx, sfield.fy + segf.fy,
+                sfield.fz + segf.fz, frequency=freq, src=src,
+                strength=strength, moment=sfield.moment + segf.moment)
+        if not electric:
+            sfield = SourceField(
+                -sfield.fx, -sfield.fy, -sfield.fz, frequency=freq,
+                src=src, strength=strength, moment=sfield.moment)
+        return sfield
+
+    if src.shape != (6,):
+        raise ValueError(
+            "Source is wrong defined. It must be either\n- a point, "
+            "[x, y, z, azimuth, dip],\n- a finite dipole, "
+            "[x1, x2, y1, y2, z1, z2], or\n- an arbitrarily shaped "
+            f"dipole, [[x-coo], [y-coo], [z-coo]].\nProvided source: {src}.")
+
+    dvec = src[1::2] - src[::2]
+    if np.allclose(dvec, 0, atol=1e-15):
+        raise ValueError("Provided finite dipole has no length; use "
+                         "the format [x, y, z, azimuth, dip] instead.")
+
+    if strength == 0:  # Normalized to 1 A m.
+        moment = dvec / np.linalg.norm(dvec)
+    else:
+        moment = strength * dvec
+
+    sfield = SourceField.zeros(grid, frequency=freq)
+    comps = []
+    for xyz, shape in enumerate([grid.shape_edges_x, grid.shape_edges_y,
+                                 grid.shape_edges_z]):
+        s = np.zeros(shape, dtype=np.float64)
+        _finite_source_xyz(grid, src, s, xyz, decimals)
+        comps.append(s * (moment[xyz] * sfield.smu0))
+
+    return SourceField(comps[0], comps[1], comps[2], frequency=freq,
+                       src=src, strength=strength, moment=moment)
+
+
+def _finite_source_xyz(grid, src, s, xyz, decimals):
+    """Distribute a finite dipole's xyz-component onto edge array ``s``.
+
+    Adjoint of trilinear interpolation of per-cell segment centers of
+    gravity (reference parity: emg3d/fields.py:914-1010); vectorized over
+    the (small) box of cells the segment traverses.
+    """
+    nodes_x = np.round(grid.nodes_x, decimals)
+    nodes_y = np.round(grid.nodes_y, decimals)
+    nodes_z = np.round(grid.nodes_z, decimals)
+    src = np.round(src, decimals)
+
+    outside = (src[0] < nodes_x[0] or src[1] > nodes_x[-1] or
+               src[2] < nodes_y[0] or src[3] > nodes_y[-1] or
+               src[4] < nodes_z[0] or src[5] > nodes_z[-1])
+    if outside:
+        raise ValueError(f"Provided source outside grid: {src}.")
+
+    d_xyz = src[1::2] - src[::2]
+    id_xyz = np.where(d_xyz != 0, 1 / np.where(d_xyz == 0, 1, d_xyz), 0.)
+
+    # Normalized line parameter of every node plane along the segment.
+    a1 = (nodes_x - src[0]) * id_xyz[0]
+    a2 = (nodes_y - src[2]) * id_xyz[1]
+    a3 = (nodes_z - src[4]) * id_xyz[2]
+
+    def min_max_ind(vector, i):
+        vmin = min(src[2*i:2*i+2])
+        vmax = max(src[2*i:2*i+2])
+        return [max(0, int(np.searchsorted(vector, vmin, 'right')) - 1),
+                max(0, int(np.searchsorted(vector, vmax, 'right')) - 1)]
+
+    rix = min_max_ind(nodes_x, 0)
+    riy = min_max_ind(nodes_y, 1)
+    riz = min_max_ind(nodes_z, 2)
+
+    slen = np.linalg.norm(src[1::2] - src[::2])
+
+    for iz in range(riz[0], min(riz[1] + 1, a3.size - 1)):
+        for iy in range(riy[0], min(riy[1] + 1, a2.size - 1)):
+            for ix in range(rix[0], min(rix[1] + 1, a1.size - 1)):
+                # In-cell sub-segment [al, ar] in line parameter.
+                aa = np.vstack([[a1[ix], a1[ix+1]], [a2[iy], a2[iy+1]],
+                                [a3[iz], a3[iz+1]]])
+                aa = np.sort(aa[d_xyz != 0, :], 1)
+                al = max(0, aa[:, 0].max())
+                ar = min(1, aa[:, 1].min())
+
+                xmin = src[::2] + al * d_xyz
+                xmax = src[::2] + ar * d_xyz
+                x_c = (xmin + xmax) / 2.0
+                x_len = np.linalg.norm(xmax - xmin) / slen
+
+                rx = (x_c[0] - nodes_x[ix]) / grid.h[0][ix]
+                ex = 1 - rx
+                ry = (x_c[1] - nodes_y[iy]) / grid.h[1][iy]
+                ey = 1 - ry
+                rz = (x_c[2] - nodes_z[iz]) / grid.h[2][iz]
+                ez = 1 - rz
+
+                if min(rx, ry, rz) >= 0 and np.max(np.abs(ar - al)) > 0:
+                    if xyz == 0:
+                        s[ix, iy, iz] += ey*ez*x_len
+                        s[ix, iy+1, iz] += ry*ez*x_len
+                        s[ix, iy, iz+1] += ey*rz*x_len
+                        s[ix, iy+1, iz+1] += ry*rz*x_len
+                    elif xyz == 1:
+                        s[ix, iy, iz] += ex*ez*x_len
+                        s[ix+1, iy, iz] += rx*ez*x_len
+                        s[ix, iy, iz+1] += ex*rz*x_len
+                        s[ix+1, iy, iz+1] += rx*rz*x_len
+                    else:
+                        s[ix, iy, iz] += ex*ey*x_len
+                        s[ix+1, iy, iz] += rx*ey*x_len
+                        s[ix, iy+1, iz] += ex*ry*x_len
+                        s[ix+1, iy+1, iz] += rx*ry*x_len
+
+    sum_s = abs(s.sum())
+    if abs(sum_s - 1) > 1e-6:
+        msg = f"Normalizing Source: {sum_s:.10f}."
+        print(f"* WARNING :: {msg}")
+        warnings.warn(msg, UserWarning)
+        s /= sum_s
+
+
+def _rotation(azm, dip):
+    """Rotation factors (x, y, z) for azimuth/dip in degrees, z up."""
+    return np.array([cosdg(azm)*cosdg(dip), sindg(azm)*cosdg(dip),
+                     sindg(dip)])
+
+
+def _finite_dipole_from_point_dipole(src, length):
+    """Finite dipole of ``length`` from point dipole [x,y,z,azm,dip]."""
+    factors = _rotation(*src[3:]) * length / 2
+    return np.ravel(src[:3] + np.stack([-factors, factors]), 'F')
+
+
+def _square_loop_from_point_dipole(src, length):
+    """Square loop of side ``length`` perpendicular to a point dipole."""
+    half_diag = np.sqrt(2) * length / 2
+    rot_hor = _rotation(src[3] + 90, 0) * half_diag
+    rot_ver = _rotation(src[3], src[4] + 90) * half_diag
+    points = src[:3] + np.stack(
+        [rot_hor, rot_ver, -rot_hor, -rot_ver, rot_hor])
+    return points.T
+
+
+# ----------------------------------------------------------------------
+# Receivers & H-field (host-side; reference: fields.py:634-911)
+# ----------------------------------------------------------------------
+
+def get_receiver(grid, values, coordinates, method='cubic',
+                 extrapolate=False):
+    """Interpolate field/model values at receiver coordinates.
+
+    One boundary layer is stripped to avoid boundary effects; points
+    outside the (stripped) grid give NaN unless ``extrapolate=True``.
+    Reference parity: emg3d/fields.py:634-730.
+    """
+    if isinstance(values, Field):
+        fx = get_receiver(grid, values.fx, coordinates, method, extrapolate)
+        fy = get_receiver(grid, values.fy, coordinates, method, extrapolate)
+        fz = get_receiver(grid, values.fz, coordinates, method, extrapolate)
+        return fx, fy, fz
+
+    if len(coordinates) != 3:
+        raise ValueError("Coordinates needs to be in the form (x, y, z).\n"
+                         f"Length of provided coord.: {len(coordinates)}.")
+
+    values = np.asarray(values)
+    points = tuple()
+    for i, coord in enumerate(['x', 'y', 'z']):
+        if values.shape[i] == grid.shape_nodes[i]:
+            points += (getattr(grid, 'nodes_' + coord)[1:-1],)
+        else:
+            points += (getattr(grid, 'cell_centers_' + coord)[1:-1],)
+
+    xi = np.stack(np.broadcast_arrays(*[np.asarray(c, dtype=float)
+                                        for c in coordinates]), axis=-1)
+    if extrapolate:
+        out = maps.interp3d(points, values[1:-1, 1:-1, 1:-1], xi, method,
+                            fill_value=None, mode='nearest')
+    else:
+        out = maps.interp3d(points, values[1:-1, 1:-1, 1:-1], xi, method,
+                            fill_value=np.nan, mode='constant')
+
+    if values.size == grid.n_cells:
+        return out
+    return utils.EMArray(out)
+
+
+def get_receiver_response(grid, field, rec):
+    """Full response of an arbitrarily rotated point receiver.
+
+    Weights fx, fy, fz by (cos a cos d, sin a cos d, sin d).
+    Reference parity: emg3d/fields.py:733-817.
+    """
+    if len(rec) != 5:
+        raise ValueError(
+            "`rec` needs to be in the form (x, y, z, azimuth, dip).\n"
+            f"Length of provided `rec`: {len(rec)}.")
+
+    if not isinstance(field, Field):
+        raise ValueError("`field` must be a `Field`-instance, not a\n"
+                         "particular field such as `field.fx`.")
+
+    if field.is_electric:
+        points = ((grid.cell_centers_x, grid.nodes_y, grid.nodes_z),
+                  (grid.nodes_x, grid.cell_centers_y, grid.nodes_z),
+                  (grid.nodes_x, grid.nodes_y, grid.cell_centers_z))
+    else:
+        points = ((grid.nodes_x, grid.cell_centers_y, grid.cell_centers_z),
+                  (grid.cell_centers_x, grid.nodes_y, grid.cell_centers_z),
+                  (grid.cell_centers_x, grid.cell_centers_y, grid.nodes_z))
+    points = tuple(tuple(p[1:-1] for p in pp) for pp in points)
+
+    n = max(np.atleast_1d(x).size for x in rec)
+    resp = np.zeros(n, dtype=np.asarray(field.fx).dtype)
+    xi = np.stack(np.broadcast_arrays(
+        *[np.asarray(c, dtype=float) for c in rec[:3]]), axis=-1)
+
+    factors = _rotation(*rec[3:])
+    for i, ff in enumerate((field.fx, field.fy, field.fz)):
+        if np.any(abs(factors[i]) > 1e-10):
+            resp = resp + factors[i] * maps.interp3d(
+                points[i], np.asarray(ff)[1:-1, 1:-1, 1:-1], xi,
+                'cubic', fill_value=np.nan, mode='constant')
+    return utils.EMArray(resp)
+
+
+def get_h_field(grid, model, field):
+    """Magnetic field H from electric field E via Faraday's law.
+
+    Reference parity: emg3d/fields.py:820-911.
+    """
+    from . import models as _models
+
+    fx = np.asarray(field.fx)
+    fy = np.asarray(field.fy)
+    fz = np.asarray(field.fz)
+    hx_ = grid.h[0][:, None, None]
+    hy_ = grid.h[1][None, :, None]
+    hz_ = grid.h[2][None, None, :]
+
+    e3d_hx = (np.diff(fz, axis=1) / grid.h[1][None, :, None] -
+              np.diff(fy, axis=2) / grid.h[2][None, None, :])
+    e3d_hy = (np.diff(fx, axis=2) / grid.h[2][None, None, :] -
+              np.diff(fz, axis=0) / grid.h[0][:, None, None])
+    e3d_hz = (np.diff(fy, axis=0) / grid.h[0][:, None, None] -
+              np.diff(fx, axis=1) / grid.h[1][None, :, None])
+
+    if model.mu_r is not None:
+        vmodel = _models.VolumeModel(grid, model, field)
+        zeta = np.asarray(vmodel.zeta)
+
+        ixm = np.r_[0, np.arange(grid.shape_cells[0])]
+        ixp = np.r_[np.arange(grid.shape_cells[0]), grid.shape_cells[0]-1]
+        iym = np.r_[0, np.arange(grid.shape_cells[1])]
+        iyp = np.r_[np.arange(grid.shape_cells[1]), grid.shape_cells[1]-1]
+        izm = np.r_[0, np.arange(grid.shape_cells[2])]
+        izp = np.r_[np.arange(grid.shape_cells[2]), grid.shape_cells[2]-1]
+
+        zeta_x = (zeta[ixm, :, :] + zeta[ixp, :, :]) / 2.
+        zeta_y = (zeta[:, iym, :] + zeta[:, iyp, :]) / 2.
+        zeta_z = (zeta[:, :, izm] + zeta[:, :, izp]) / 2.
+
+        dx = (np.r_[0., grid.h[0]] + np.r_[grid.h[0], 0.]) / 2.
+        dy = (np.r_[0., grid.h[1]] + np.r_[grid.h[1], 0.]) / 2.
+        dz = (np.r_[0., grid.h[2]] + np.r_[grid.h[2], 0.]) / 2.
+
+        e3d_hx = e3d_hx * zeta_x / (dx[:, None, None] * hy_ * hz_)
+        e3d_hy = e3d_hy * zeta_y / (hx_ * dy[None, :, None] * hz_)
+        e3d_hz = e3d_hz * zeta_z / (hx_ * hy_ * dz[None, None, :])
+
+    smu0 = field.smu0
+    return Field(-e3d_hx / smu0, -e3d_hy / smu0, -e3d_hz / smu0,
+                 frequency=field._frequency)
