@@ -1,0 +1,219 @@
+"""Batched small complex-symmetric solves (LDLᵀ, no pivoting).
+
+TPU-native replacement for the reference's sequential banded Cholesky
+(/root/reference/emg3d/core.py:1447-1582): instead of factorizing one
+6×6 node system or one banded line system at a time, we factorize
+*millions of them at once* as unrolled elementwise operations on stacked
+arrays — pure VPU work with perfect vectorization.
+
+Two flavors:
+
+- :func:`ldl_solve_sparse`: operates on a sparsity-annotated lower
+  triangle given as per-entry arrays (entries may be ``None`` = zero).
+  Used for the 6×6 point-smoother blocks, where materializing a dense
+  (..., 6, 6) array would waste memory; everything stays as ~20
+  broadcast-compatible arrays that XLA fuses.
+- dense (..., k, k) helpers :func:`ldl_factor` / :func:`ldl_apply` for
+  the 5×5 blocks of the line-relaxation block-tridiagonal solve (those
+  fill in during elimination anyway).
+
+The matrices are complex-*symmetric* (A = Aᵀ, not hermitian): the
+factorization is A = L D Lᵀ without conjugation, as in [Muld07].
+"""
+import jax.numpy as jnp
+
+__all__ = ['ldl_solve_sparse', 'ldl_factor', 'ldl_apply', 'ldl_apply_mat',
+           'block_tridiag_solve']
+
+
+def ldl_solve_sparse(n, entries, b):
+    """Solve A x = b for complex-symmetric A given as sparse lower entries.
+
+    Parameters
+    ----------
+    n : int
+        System size (static).
+    entries : dict[(i, j)] -> array or None
+        Lower-triangle entries (i >= j), broadcast-compatible arrays;
+        missing/None entries are structurally zero.
+    b : list of n arrays
+        Right-hand side components.
+
+    Returns
+    -------
+    list of n arrays — the solution components.
+    """
+    # Factorize: L (strict lower, unit diagonal), d (diagonal of D).
+    L = {}
+    dinv = [None] * n
+    for j in range(n):
+        acc = entries.get((j, j))
+        if acc is None:
+            raise ValueError(f"Diagonal entry ({j},{j}) must be present.")
+        for k in range(j):
+            Ljk = L.get((j, k))
+            if Ljk is not None:
+                acc = acc - Ljk * Ljk * _d(dinv, k)
+        dinv[j] = 1.0 / acc
+        for i in range(j + 1, n):
+            a = entries.get((i, j))
+            s = None
+            for k in range(j):
+                Lik = L.get((i, k))
+                Ljk = L.get((j, k))
+                if Lik is not None and Ljk is not None:
+                    t = Lik * Ljk * _d(dinv, k)
+                    s = t if s is None else s + t
+            if a is None and s is None:
+                continue
+            val = (a if a is not None else 0.)
+            if s is not None:
+                val = val - s
+            L[(i, j)] = val * dinv[j]
+
+    # Forward substitution L y = b.
+    y = list(b)
+    for i in range(n):
+        for k in range(i):
+            Lik = L.get((i, k))
+            if Lik is not None:
+                y[i] = y[i] - Lik * y[k]
+    # Diagonal D z = y.
+    for i in range(n):
+        y[i] = y[i] * dinv[i]
+    # Backward Lᵀ x = z.
+    for i in range(n - 2, -1, -1):
+        for k in range(i + 1, n):
+            Lki = L.get((k, i))
+            if Lki is not None:
+                y[i] = y[i] - Lki * y[k]
+    return y
+
+
+def _d(dinv, k):
+    return 1.0 / dinv[k]
+
+
+def ldl_factor(A):
+    """LDLᵀ factorization of dense complex-symmetric (..., k, k) blocks.
+
+    Returns (L, dinv): L strict-lower with unit diagonal implied
+    (..., k, k), dinv (..., k) the inverse diagonal of D.
+    """
+    k = A.shape[-1]
+    Lcols = []
+    dinv = []
+    # Build column by column; keep entries as (..., ) arrays.
+    L = [[None] * k for _ in range(k)]
+    for j in range(k):
+        acc = A[..., j, j]
+        for p in range(j):
+            acc = acc - L[j][p] * L[j][p] * (1.0 / dinv[p])
+        dj = 1.0 / acc
+        dinv.append(dj)
+        for i in range(j + 1, k):
+            v = A[..., i, j]
+            for p in range(j):
+                v = v - L[i][p] * L[j][p] * (1.0 / dinv[p])
+            L[i][j] = v * dj
+        Lcols.append(j)
+    Lmat = jnp.zeros_like(A)
+    for i in range(k):
+        for j in range(i):
+            Lmat = Lmat.at[..., i, j].set(L[i][j])
+    return Lmat, jnp.stack(dinv, axis=-1)
+
+
+def ldl_apply(fact, b):
+    """Solve A x = b given ``fact = (L, dinv)`` from :func:`ldl_factor`.
+
+    b : (..., k) -> x : (..., k)
+    """
+    L, dinv = fact
+    k = b.shape[-1]
+    y = [b[..., i] for i in range(k)]
+    for i in range(k):
+        for p in range(i):
+            y[i] = y[i] - L[..., i, p] * y[p]
+    for i in range(k):
+        y[i] = y[i] * dinv[..., i]
+    for i in range(k - 2, -1, -1):
+        for p in range(i + 1, k):
+            y[i] = y[i] - L[..., p, i] * y[p]
+    return jnp.stack(y, axis=-1)
+
+
+def ldl_apply_mat(fact, M):
+    """Solve A X = M (columns independently); M (..., k, m)."""
+    import jax
+    return jax.vmap(lambda col: ldl_apply(fact, col),
+                    in_axes=-1, out_axes=-1)(M)
+
+
+def block_tridiag_solve(D, B, r):
+    """Solve a batched complex-symmetric block-tridiagonal system.
+
+    The system has S stations of k unknowns; sub-diagonal blocks B[i]
+    couple station i to station i-1 (B[0] is ignored), and by symmetry
+    the super-diagonal blocks are B[i]ᵀ.
+
+    Parameters
+    ----------
+    D : (S, ..., k, k)  diagonal blocks (complex symmetric)
+    B : (S, ..., k, k)  sub-diagonal blocks
+    r : (S, ..., k)     right-hand side
+
+    Returns
+    -------
+    x : (S, ..., k)
+
+    Implemented as a forward block-Thomas elimination (lax.scan over
+    stations, batched over lines) followed by a backward substitution
+    scan.  Each scan step is a handful of small batched matmuls.
+    """
+    import jax
+    from jax import lax
+
+    def mm(a, b):
+        return jnp.einsum('...ij,...jk->...ik', a, b)
+
+    def mv(a, b):
+        return jnp.einsum('...ij,...j->...i', a, b)
+
+    def t(a):
+        return jnp.swapaxes(a, -1, -2)
+
+    fact0 = ldl_factor(D[0])
+
+    def fwd(carry, inp):
+        factm, ym = carry
+        Di, Bi, ri = inp
+        # W = B_i C_{i-1}^{-1}  (C symmetric -> W = (C^{-1} B_iᵀ)ᵀ).
+        W = t(ldl_apply_mat(factm, t(Bi)))
+        Ci = Di - mm(W, t(Bi))
+        yi = ri - mv(W, ym)
+        facti = ldl_factor(Ci)
+        return (facti, yi), (facti, yi)
+
+    y0 = r[0]
+    (_, _), (facts, ys) = lax.scan(
+        fwd, (fact0, y0), (D[1:], B[1:], r[1:]))
+    # Prepend station 0.
+    factsL = jnp.concatenate([fact0[0][None], facts[0]], axis=0)
+    factsd = jnp.concatenate([fact0[1][None], facts[1]], axis=0)
+    ys = jnp.concatenate([y0[None], ys], axis=0)
+
+    # Backward: δ_S-1 = C^{-1} y;  δ_i = C_i^{-1} (y_i − B_{i+1}ᵀ δ_{i+1}).
+    xS = ldl_apply((factsL[-1], factsd[-1]), ys[-1])
+
+    def bwd(carry, inp):
+        xnext = carry
+        Li, di, yi, Bnext = inp
+        xi = ldl_apply((Li, di), yi - mv(t(Bnext), xnext))
+        return xi, xi
+
+    _, xs = lax.scan(
+        bwd, xS,
+        (factsL[:-1], factsd[:-1], ys[:-1], B[1:]),
+        reverse=True)
+    return jnp.concatenate([xs, xS[None]], axis=0)

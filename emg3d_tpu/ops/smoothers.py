@@ -1,0 +1,240 @@
+"""Parallel multicolor block smoothers (the >90%-of-runtime kernels).
+
+TPU-native replacement for the reference's *sequential lexicographic*
+Gauss-Seidel (/root/reference/emg3d/core.py:181-1316), which cannot be
+parallelized.  We use the mathematically equivalent-strength multicolor
+formulation:
+
+- **Point smoother**: the [ArFW00] overlapping 6-edge node blocks,
+  updated in δ-form: solve ``A_block δ = r_block`` (current residual
+  restricted to the block) and add δ.  This is *identical* to the
+  reference's "solve the 6 edge equations with frozen neighbors" — the
+  only difference is ordering: nodes are updated red/black by parity
+  (blocks of equal parity are disjoint, so each color is a true
+  synchronous block-GS step).  All node systems of a color are solved
+  simultaneously by the batched sparse 6×6 LDLᵀ.
+
+- **Line relaxation**: all edges attached to a grid line are solved
+  together as a block-tridiagonal system of 5×5 station blocks
+  (station i = [ex(i), ey∓, ey±, ez∓, ez± at node i+1]).  Lines are
+  2-colored by transverse parity; each color's lines are solved
+  concurrently by a batched block-Thomas scan.  The y/z variants reuse
+  the x kernel through an exact cyclic axis rotation of the
+  discretization (x→y→z→x).
+
+A symmetric sweep (reference ``nu=2``: forward+backward) maps to
+alternating the color order per iteration.
+"""
+import jax.numpy as jnp
+
+from . import stencil
+from .blocksolve import ldl_solve_sparse, block_tridiag_solve
+from .coeffs import node_coefficients, node_block_entries
+
+__all__ = ['gauss_seidel_point', 'line_relaxation']
+
+
+def _residual(e, s, par):
+    return stencil.residual_parts(s[0], s[1], s[2], e[0], e[1], e[2], *par)
+
+
+def _point_color_update(e, s, par, entries, color):
+    """One color of the red-black node-block update."""
+    ex, ey, ez = e
+    rx, ry, rz = _residual(e, s, par)
+
+    # Residual at the six block edges of every interior node.
+    rb = [rx[:-1, 1:-1, 1:-1], rx[1:, 1:-1, 1:-1],
+          ry[1:-1, :-1, 1:-1], ry[1:-1, 1:, 1:-1],
+          rz[1:-1, 1:-1, :-1], rz[1:-1, 1:-1, 1:]]
+
+    delta = ldl_solve_sparse(6, entries, rb)
+
+    # Node color mask: node (ix,iy,iz), zero-based (i0,j0,k0)=(ix-1,..):
+    # active iff (ix+iy+iz) % 2 == color  <=>  (i0+j0+k0+1) % 2 == color.
+    nsh = rb[0].shape
+    ii = jnp.arange(nsh[0])[:, None, None]
+    jj = jnp.arange(nsh[1])[None, :, None]
+    kk = jnp.arange(nsh[2])[None, None, :]
+    mask = ((ii + jj + kk + 1) % 2) == color
+    dm = [jnp.where(mask, d, 0) for d in delta]
+
+    # Scatter-add: each edge receives δ from exactly one active node.
+    ex = ex.at[:, 1:-1, 1:-1].add(
+        jnp.pad(dm[0], ((0, 1), (0, 0), (0, 0))) +
+        jnp.pad(dm[1], ((1, 0), (0, 0), (0, 0))))
+    ey = ey.at[1:-1, :, 1:-1].add(
+        jnp.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
+        jnp.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
+    ez = ez.at[1:-1, 1:-1, :].add(
+        jnp.pad(dm[4], ((0, 0), (0, 0), (0, 1))) +
+        jnp.pad(dm[5], ((0, 0), (0, 0), (1, 0))))
+    return ex, ey, ez
+
+
+def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                       hx, hy, hz, nu):
+    """nu sweeps of red-black node-block Gauss-Seidel.
+
+    Each sweep updates both colors; the color order alternates between
+    sweeps (the multicolor analog of the reference's forward/backward
+    alternation, core.py:282-315).
+    """
+    par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    entries = node_block_entries(c)
+    e = (ex, ey, ez)
+    s = (sx, sy, sz)
+    for it in range(nu):
+        order = (0, 1) if it % 2 == 0 else (1, 0)
+        for color in order:
+            e = _point_color_update(e, s, par, entries, color)
+    return e
+
+
+# ----------------------------------------------------------------------
+# Line relaxation
+# ----------------------------------------------------------------------
+
+def _line_blocks_x(c, dtype, nx):
+    """Station blocks D (nx, ny-1, nz-1, 5, 5) and B for x-lines."""
+    ent = node_block_entries(c)
+    nsh = ent[(0, 0)].shape  # (nx-1, ny-1, nz-1)
+
+    def nz_():
+        return jnp.zeros(nsh, dtype)
+
+    def full(v):
+        return jnp.broadcast_to(v, nsh).astype(dtype)
+
+    # --- D for stations 0..nx-2 (node i+1 = node array index i).
+    D = jnp.zeros((nx,) + nsh[1:] + (5, 5), dtype)
+
+    def setD(a, b, val):
+        # Symmetric set into stations 0..nx-2.
+        nonlocal D
+        D = D.at[:-1, ..., a, b].add(val)
+        if a != b:
+            D = D.at[:-1, ..., b, a].add(val)
+
+    setD(0, 0, full(ent[(0, 0)]))
+    setD(1, 1, full(ent[(2, 2)]))
+    setD(2, 2, full(ent[(3, 3)]))
+    setD(3, 3, full(ent[(4, 4)]))
+    setD(4, 4, full(ent[(5, 5)]))
+    setD(1, 0, full(ent[(2, 0)]))
+    setD(2, 0, full(ent[(3, 0)]))
+    setD(3, 0, full(ent[(4, 0)]))
+    setD(4, 0, full(ent[(5, 0)]))
+    setD(3, 1, full(ent[(4, 2)]))
+    setD(4, 1, full(ent[(5, 2)]))
+    setD(3, 2, full(ent[(4, 3)]))
+    setD(4, 2, full(ent[(5, 3)]))
+
+    # --- Last station nx-1: only ex; transverse rows are identity.
+    D = D.at[-1, ..., 0, 0].set(full(ent[(1, 1)])[-1])
+    for k in range(1, 5):
+        D = D.at[-1, ..., k, k].set(1.0)
+
+    # --- Sub-diagonal blocks B_i (station i -> station i-1), i=1..nx-1.
+    B = jnp.zeros_like(D)
+    # Row 0: ex(i) ↔ transverse(node i): entries (2..5, 1) at node idx i-1.
+    B = B.at[1:, ..., 0, 1].set(full(ent[(2, 1)]))
+    B = B.at[1:, ..., 0, 2].set(full(ent[(3, 1)]))
+    B = B.at[1:, ..., 0, 3].set(full(ent[(4, 1)]))
+    B = B.at[1:, ..., 0, 4].set(full(ent[(5, 1)]))
+    # Transverse ↔ transverse (x-direction couplings), node idx i,
+    # for stations i=1..nx-2 (station nx-1 has no transverse rows).
+    byy_m = full(-(c.mzxLym * c.ihxm))
+    byy_p = full(-(c.mzxLyp * c.ihxm))
+    bzz_m = full(-(c.myxLzm * c.ihxm))
+    bzz_p = full(-(c.myxLzp * c.ihxm))
+    B = B.at[1:-1, ..., 1, 1].set(byy_m[1:])
+    B = B.at[1:-1, ..., 2, 2].set(byy_p[1:])
+    B = B.at[1:-1, ..., 3, 3].set(bzz_m[1:])
+    B = B.at[1:-1, ..., 4, 4].set(bzz_p[1:])
+    return D, B
+
+
+def _line_color_update_x(e, s, par, D, B, color):
+    ex, ey, ez = e
+    rx, ry, rz = _residual(e, s, par)
+
+    nx = ex.shape[0]
+    # Station residuals (nx, ny-1, nz-1, 5).
+    r0 = rx[:, 1:-1, 1:-1]
+    pad = ((0, 1), (0, 0), (0, 0))
+    r1 = jnp.pad(ry[1:-1, :-1, 1:-1], pad)
+    r2 = jnp.pad(ry[1:-1, 1:, 1:-1], pad)
+    r3 = jnp.pad(rz[1:-1, 1:-1, :-1], pad)
+    r4 = jnp.pad(rz[1:-1, 1:-1, 1:], pad)
+    r = jnp.stack([r0, r1, r2, r3, r4], axis=-1)
+
+    delta = block_tridiag_solve(D, B, r)
+
+    # Line color mask over (ny-1, nz-1): active iff (iy+iz)%2==color,
+    # iy=j0+1, iz=k0+1.
+    jj = jnp.arange(r0.shape[1])[:, None]
+    kk = jnp.arange(r0.shape[2])[None, :]
+    mask = ((jj + kk) % 2) == color
+    dm = jnp.where(mask[None, :, :, None], delta, 0)
+
+    ex = ex.at[:, 1:-1, 1:-1].add(dm[..., 0])
+    ey = ey.at[1:-1, :-1, 1:-1].add(dm[:-1, ..., 1])
+    ey = ey.at[1:-1, 1:, 1:-1].add(dm[:-1, ..., 2])
+    ez = ez.at[1:-1, 1:-1, :-1].add(dm[:-1, ..., 3])
+    ez = ez.at[1:-1, 1:-1, 1:].add(dm[:-1, ..., 4])
+    return ex, ey, ez
+
+
+def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+               hx, hy, hz, nu):
+    par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    D, B = _line_blocks_x(c, ex.dtype, ex.shape[0])
+    e = (ex, ey, ez)
+    s = (sx, sy, sz)
+    for it in range(nu):
+        order = (0, 1) if it % 2 == 0 else (1, 0)
+        for color in order:
+            e = _line_color_update_x(e, s, par, D, B, color)
+    return e
+
+
+def _rot_fwd(a):
+    """Cyclic axis rotation x→y→z→x (array axes (1, 2, 0))."""
+    return jnp.transpose(a, (1, 2, 0))
+
+
+def _rot_bwd(a):
+    return jnp.transpose(a, (2, 0, 1))
+
+
+def line_relaxation(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                    hx, hy, hz, nu, axis):
+    """nu sweeps of 2-color line relaxation along ``axis`` (0=x,1=y,2=z).
+
+    The y/z variants run the x kernel in a cyclically rotated frame
+    (exact: the Yee discretization is symmetric under x→y→z→x with
+    simultaneous rotation of field components and model parameters).
+    """
+    if axis == 0:
+        return _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z,
+                          zeta, hx, hy, hz, nu)
+    if axis == 1:
+        # new-x = old-y: fields (ey,ez,ex), model (eta_y,eta_z,eta_x).
+        out = _gs_line_x(
+            _rot_fwd(ey), _rot_fwd(ez), _rot_fwd(ex),
+            _rot_fwd(sy), _rot_fwd(sz), _rot_fwd(sx),
+            _rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
+            _rot_fwd(zeta), hy, hz, hx, nu)
+        return (_rot_bwd(out[2]), _rot_bwd(out[0]), _rot_bwd(out[1]))
+    if axis == 2:
+        # new-x = old-z: fields (ez,ex,ey), model (eta_z,eta_x,eta_y).
+        out = _gs_line_x(
+            _rot_bwd(ez), _rot_bwd(ex), _rot_bwd(ey),
+            _rot_bwd(sz), _rot_bwd(sx), _rot_bwd(sy),
+            _rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
+            _rot_bwd(zeta), hz, hx, hy, nu)
+        return (_rot_fwd(out[1]), _rot_fwd(out[2]), _rot_fwd(out[0]))
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
