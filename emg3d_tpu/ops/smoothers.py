@@ -39,7 +39,16 @@ def _residual(e, s, par):
 
 
 def _point_color_update(e, s, par, entries, color):
-    """One color of the red-black node-block update."""
+    """One color of the 8-color node-block update.
+
+    ``color`` is a parity triple (cx, cy, cz): a node (ix, iy, iz) is
+    active iff (ix%2, iy%2, iz%2) == color.  Eight colors are required
+    (not two): blocks of face- and edge-diagonal neighbor nodes are
+    coupled through the operator, so only full-parity separation makes
+    the simultaneous update a true (sequential-equivalent) block-GS
+    step; with fewer colors it degrades to block-Jacobi within a color
+    and the MG convergence factor suffers badly.
+    """
     ex, ey, ez = e
     rx, ry, rz = _residual(e, s, par)
 
@@ -50,13 +59,17 @@ def _point_color_update(e, s, par, entries, color):
 
     delta = ldl_solve_sparse(6, entries, rb)
 
-    # Node color mask: node (ix,iy,iz), zero-based (i0,j0,k0)=(ix-1,..):
-    # active iff (ix+iy+iz) % 2 == color  <=>  (i0+j0+k0+1) % 2 == color.
+    # Node color mask; zero-based node (i0,j0,k0) = (ix-1, iy-1, iz-1).
+    # ``color`` is a (traced) scalar 0..7 encoding (cx, cy, cz) parity.
     nsh = rb[0].shape
+    cx = color % 2
+    cy = (color // 2) % 2
+    cz = color // 4
     ii = jnp.arange(nsh[0])[:, None, None]
     jj = jnp.arange(nsh[1])[None, :, None]
     kk = jnp.arange(nsh[2])[None, None, :]
-    mask = ((ii + jj + kk + 1) % 2) == color
+    mask = ((((ii + 1) % 2) == cx) & (((jj + 1) % 2) == cy) &
+            (((kk + 1) % 2) == cz))
     dm = [jnp.where(mask, d, 0) for d in delta]
 
     # Scatter-add: each edge receives δ from exactly one active node.
@@ -80,15 +93,24 @@ def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     sweeps (the multicolor analog of the reference's forward/backward
     alternation, core.py:282-315).
     """
+    from jax import lax
+
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     entries = node_block_entries(c)
     e = (ex, ey, ez)
     s = (sx, sy, sz)
-    for it in range(nu):
-        order = (0, 1) if it % 2 == 0 else (1, 0)
-        for color in order:
-            e = _point_color_update(e, s, par, entries, color)
+
+    # scan over (sweep, color): one traced color-update body instead of
+    # 8·nu unrolled copies — compile time stays flat in nu.
+    def step(e, sc):
+        it, cidx = sc
+        color = jnp.where(it % 2 == 0, cidx, 7 - cidx)
+        return _point_color_update(e, s, par, entries, color), None
+
+    its = jnp.repeat(jnp.arange(nu), 8)
+    cols = jnp.tile(jnp.arange(8), nu)
+    e, _ = lax.scan(step, e, (its, cols))
     return e
 
 
@@ -172,11 +194,16 @@ def _line_color_update_x(e, s, par, D, B, color):
 
     delta = block_tridiag_solve(D, B, r)
 
-    # Line color mask over (ny-1, nz-1): active iff (iy+iz)%2==color,
-    # iy=j0+1, iz=k0+1.
+    # Line color mask over (ny-1, nz-1): lines need 4 colors (y/z
+    # parity) — adjacent and diagonal lines are coupled through the
+    # operator, so only full transverse-parity separation yields a true
+    # multicolor block-GS step.  ``color`` is a (traced) scalar 0..3
+    # encoding (cy, cz); iy=j0+1, iz=k0+1.
+    cy = color % 2
+    cz = color // 2
     jj = jnp.arange(r0.shape[1])[:, None]
     kk = jnp.arange(r0.shape[2])[None, :]
-    mask = ((jj + kk) % 2) == color
+    mask = ((((jj + 1) % 2) == cy) & (((kk + 1) % 2) == cz))
     dm = jnp.where(mask[None, :, :, None], delta, 0)
 
     ex = ex.at[:, 1:-1, 1:-1].add(dm[..., 0])
@@ -189,15 +216,22 @@ def _line_color_update_x(e, s, par, D, B, color):
 
 def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                hx, hy, hz, nu):
+    from jax import lax
+
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     D, B = _line_blocks_x(c, ex.dtype, ex.shape[0])
     e = (ex, ey, ez)
     s = (sx, sy, sz)
-    for it in range(nu):
-        order = (0, 1) if it % 2 == 0 else (1, 0)
-        for color in order:
-            e = _line_color_update_x(e, s, par, D, B, color)
+
+    def step(e, sc):
+        it, cidx = sc
+        color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
+        return _line_color_update_x(e, s, par, D, B, color), None
+
+    its = jnp.repeat(jnp.arange(nu), 4)
+    cols = jnp.tile(jnp.arange(4), nu)
+    e, _ = lax.scan(step, e, (its, cols))
     return e
 
 

@@ -1,5 +1,956 @@
-"""Multigrid solver (placeholder; implemented in the next milestone)."""
+"""Multigrid solver orchestration (the reference's solver.py, TPU-style).
+
+Design (vs /root/reference/emg3d/solver.py):
+
+- The complete level hierarchy (coarse η/ζ, cell widths, transfer
+  weights) is built **eagerly at solve start**; every shape is static.
+- One **top-level MG cycle is a single jitted function**: the V/W/F
+  recursion (solver.py:478-604, including the ``cycmax−cyc`` F-cycle
+  trick) is unrolled at trace time into a static schedule of smoothing,
+  restriction and prolongation ops.
+- The host loop only advances cycles, pulls the residual norm scalar,
+  applies the reference's termination logic (CONVERGED / DIVERGED /
+  STAGNATED / MAX-IT), and cycles the semicoarsening / line-relaxation
+  direction schedules — exactly the reference's control flow.
+- Krylov (BiCGSTAB/CGS) is implemented natively on device arrays with
+  one MG cycle as preconditioner (solver.py:610-734).
+
+Compiled cycles are cached module-wide keyed by (shapes, dirs, nus,
+cycle type, dtype), so repeated solves on equal grids never recompile.
+"""
+import itertools
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import fields, models, utils
+from .ops import smoothers, stencil, transfers
+
+__all__ = ['solve', 'multigrid', 'krylov', 'MGParameters']
 
 
-def solve(*args, **kwargs):
-    raise NotImplementedError("solver.solve coming in the next milestone")
+# ======================================================================
+# Parameters
+# ======================================================================
+
+@dataclass
+class MGParameters:
+    """Multigrid solver settings (reference parity: solver.py:1043-1364).
+    """
+
+    verb: int
+    cycle: str
+    sslsolver: str
+    linerelaxation: int
+    semicoarsening: int
+    shape_cells: tuple
+
+    tol: float = 1e-6
+    maxit: int = 50
+    nu_init: int = 0
+    nu_pre: int = 2
+    nu_coarse: int = 1
+    nu_post: int = 2
+    clevel: int = -1
+
+    return_info: bool = False
+    log: int = 1
+    log_message: str = ''
+
+    def __post_init__(self):
+        self._level_all = []
+        self._first_cycle = True
+        self.it = 0
+        self._ssl_it = 0
+        self.l2 = 1.0
+        self.l2_refe = 1.0
+        self.exit_message = ''
+        self.time = utils.Time()
+        self.runtime_at_cycle = np.array([0.])
+        self.error_at_cycle = np.array([0.])
+        self.do_return = True
+
+        self._semicoarsening()
+        self._linerelaxation()
+        self._solver_and_cycle()
+        self.max_level
+
+    def __repr__(self):
+        return (
+            f"   MG-cycle       : {self.cycle!r:17}"
+            f"   sslsolver : {self.sslsolver!r}\n"
+            f"   semicoarsening : {self._p_sc_dir:17}"
+            f"   tol       : {self.tol}\n"
+            f"   linerelaxation : {self._p_lr_dir:17}"
+            f"   maxit     : {self._maxit}\n"
+            f"   nu_{{i,1,c,2}}   : {self.nu_init}, {self.nu_pre}"
+            f", {self.nu_coarse}, {self.nu_post}       "
+            f"   verb      : {self.verb}\n"
+            f"   Original grid  "
+            f": {self.shape_cells[0]:3} x {self.shape_cells[1]:3} "
+            f"x {self.shape_cells[2]:3}  "
+            f"   => {np.prod(self.shape_cells):,} cells\n"
+            f"   Coarsest grid  : {self.pclevel['vnC'][0]:3} "
+            f"x {self.pclevel['vnC'][1]:3} x {self.pclevel['vnC'][2]:3}  "
+            f"   => {self.pclevel['nC']:,} cells\n"
+            f"   Coarsest level : {self.pclevel['clevel'][0]:3} "
+            f"; {self.pclevel['clevel'][1]:3} ;{self.pclevel['clevel'][2]:4} "
+            f"  {self.pclevel['message']}\n"
+        )
+
+    @property
+    def max_level(self):
+        """Dimension-dependent coarsest level per sc_dir."""
+        inp_clevel = np.inf if self.clevel < 0 else self.clevel
+
+        clevel = np.zeros(3, dtype=int)
+        for i in range(3):
+            n = self.shape_cells[i]
+            while n % 2 == 0 and n > 2:
+                clevel[i] += 1
+                n //= 2
+        for i in range(3):
+            if -1 < self.clevel < clevel[i]:
+                clevel[i] = self.clevel
+
+        self.clevel = np.array([
+            max(clevel[0], clevel[1], clevel[2]),
+            max(clevel[1], clevel[2]),
+            max(clevel[0], clevel[2]),
+            max(clevel[0], clevel[1]),
+        ])
+
+        sx = int(self.shape_cells[0] / 2**clevel[0])
+        sy = int(self.shape_cells[1] / 2**clevel[1])
+        sz = int(self.shape_cells[2] / 2**clevel[2])
+        self.pclevel = {'nC': sx*sy*sz, 'vnC': (sx, sy, sz),
+                        'clevel': clevel}
+
+        check_inp = zip(clevel, [sx, sy, sz])
+        low_prime = any(cl < inp_clevel and sl > 7 for cl, sl in check_inp)
+        min_div = any(clevel < min(inp_clevel, 3))
+        self.pclevel['message'] = (
+            "  :: Grid not optimal for MG solver ::"
+            if low_prime or min_div else "")
+
+        if np.any(np.array(self.shape_cells) < 2):
+            raise ValueError(
+                "Nr. of cells must be at least two in each direction\n"
+                "Provided shape: "
+                f"({self.shape_cells[0]}, {self.shape_cells[1]}, "
+                f"{self.shape_cells[2]}).")
+
+    def cprint(self, info, verbosity, **kwargs):
+        if self.verb > verbosity:
+            if self.log != 0:
+                self.log_message += str(info) + '\n'
+            if self.log >= 0:
+                print(info, **kwargs)
+
+    def one_liner(self, l2_last, last=False):
+        info = f":: emg3d_tpu :: {l2_last/self.l2_refe:.1e}; "
+        if self.sslsolver:
+            info += f"{self._ssl_it}({self.it}); "
+        else:
+            info += f"{self.it}; "
+        info += f"{self.time.runtime}"
+        if last:
+            self.cprint(info + f"; {self.exit_message}", -100)
+        else:
+            self.cprint(info, -100, end='\r')
+
+    def _semicoarsening(self):
+        if self.semicoarsening is True:
+            sc_cycle = np.array([1, 2, 3])
+            self.sc_cycle = itertools.cycle(sc_cycle)
+        elif self.semicoarsening in np.arange(4):
+            sc_cycle = np.array([int(self.semicoarsening)])
+            self.sc_cycle = False
+        else:
+            sc_cycle = np.array([int(x) for x in
+                                 str(abs(int(self.semicoarsening)))])
+            self.sc_cycle = itertools.cycle(sc_cycle)
+            if np.any(sc_cycle < 0) or np.any(sc_cycle > 3):
+                raise ValueError(
+                    "`semicoarsening` must be one of "
+                    "(False, True, 0, 1, 2, 3).\n"
+                    f"{' ':>13} Or a combination of (0, 1, 2, 3) to cycle, "
+                    f"e.g. 1213.\n{'Provided:':>23} "
+                    f"semicoarsening={self.semicoarsening}.")
+        if self.sc_cycle:
+            self.sc_dir = next(self.sc_cycle)
+        else:
+            self.sc_dir = sc_cycle[0]
+        self.semicoarsening = self.sc_dir != 0
+        self._p_sc_dir = f"{self.semicoarsening} {sc_cycle}"
+        self._raw_sc_cycle = sc_cycle
+
+    def _linerelaxation(self):
+        if self.linerelaxation is True:
+            lr_cycle = np.array([4, 5, 6])
+            self.lr_cycle = itertools.cycle(lr_cycle)
+        elif self.linerelaxation in np.arange(8):
+            lr_cycle = np.array([int(self.linerelaxation)])
+            self.lr_cycle = False
+        else:
+            lr_cycle = np.array([int(x) for x in
+                                 str(abs(int(self.linerelaxation)))])
+            self.lr_cycle = itertools.cycle(lr_cycle)
+            if np.any(lr_cycle < 0) or np.any(lr_cycle > 7):
+                raise ValueError(
+                    "`linerelaxation` must be one of "
+                    "(False, True, 0, 1, 2, 3, 4, 5, 6, 7).\n"
+                    f"{' ':>13} Or a combination of (1, 2, 3, 4, 5, 6, 7) "
+                    f"to cycle, e.g. 1213.\n{'Provided:':>23} "
+                    f"linerelaxation={self.linerelaxation}.")
+        if self.lr_cycle:
+            self.lr_dir = next(self.lr_cycle)
+        else:
+            self.lr_dir = lr_cycle[0]
+        self.linerelaxation = self.lr_dir != 0
+        self._p_lr_dir = f"{self.linerelaxation} {lr_cycle}"
+        self._raw_lr_cycle = lr_cycle
+
+    def _solver_and_cycle(self):
+        solvers = ['bicgstab', 'cgs']
+        if self.sslsolver is True:
+            self.sslsolver = 'bicgstab'
+        elif self.sslsolver is not False and self.sslsolver not in solvers:
+            raise ValueError(
+                f"`sslsolver` must be True, False, or one of {solvers}.\n"
+                f"Provided: sslsolver={self.sslsolver!r}.")
+        if self.cycle not in ['F', 'V', 'W', None]:
+            raise ValueError(
+                "`cycle` must be one of {'F', 'V', 'W', None}.\n"
+                f"Provided: cycle={self.cycle}.")
+        self.cycmax = 2 if self.cycle in ['F', 'W'] else 1
+        if not self.sslsolver and not self.cycle:
+            raise ValueError(
+                "At least `cycle` or `sslsolver` is required.\nProvided "
+                f"input: cycle={self.cycle}; sslsolver={self.sslsolver}.")
+        self.ssl_maxit = 0
+        self._maxit = f"{self.maxit}"
+        self._maxcycle = max(len(self._raw_sc_cycle),
+                             len(self._raw_lr_cycle))
+        if self.sslsolver:
+            self.ssl_maxit = self.maxit
+            if self.cycle is not None:
+                self.maxit = self._maxcycle
+                self._maxit += f" ({self.maxit})"
+
+
+# ======================================================================
+# Direction helpers (reference parity: solver.py:1466-1572)
+# ======================================================================
+
+def _current_sc_dir(sc_dir, shape):
+    """Adjusted semicoarsening direction for a given grid shape."""
+    xsc = shape[0] % 2 != 0 or shape[0] < 3 or sc_dir == 1
+    ysc = shape[1] % 2 != 0 or shape[1] < 3 or sc_dir == 2
+    zsc = shape[2] % 2 != 0 or shape[2] < 3 or sc_dir == 3
+
+    if xsc:
+        if ysc:
+            return 6
+        elif zsc:
+            return 5
+        else:
+            return 1
+    elif ysc:
+        return 4 if zsc else 2
+    elif zsc:
+        return 3
+    return 0
+
+
+def _coarsen_flags(sc_dir):
+    """(coarsen_x, coarsen_y, coarsen_z) from an sc_dir code."""
+    return (sc_dir not in [1, 5, 6],
+            sc_dir not in [2, 4, 6],
+            sc_dir not in [3, 4, 5])
+
+
+def _current_lr_dir(lr_dir, shape):
+    """Suppress line relaxation along 2-cell dimensions."""
+    lr_dir = int(lr_dir)
+    if shape[0] == 2:
+        lr_dir = {1: 0, 5: 3, 6: 2, 7: 4}.get(lr_dir, lr_dir)
+    if shape[1] == 2:
+        lr_dir = {2: 0, 4: 3, 6: 1, 7: 5}.get(lr_dir, lr_dir)
+    if shape[2] == 2:
+        lr_dir = {3: 0, 4: 2, 5: 1, 7: 6}.get(lr_dir, lr_dir)
+    return lr_dir
+
+
+def _lr_axes(lr_dir):
+    """Line-relaxation axes for an lr_dir code (in x, y, z order)."""
+    axes = []
+    if lr_dir in [1, 5, 6, 7]:
+        axes.append(0)
+    if lr_dir in [2, 4, 6, 7]:
+        axes.append(1)
+    if lr_dir in [3, 4, 5, 7]:
+        axes.append(2)
+    return tuple(axes)
+
+
+# ======================================================================
+# Level hierarchy
+# ======================================================================
+
+class _Level:
+    """Per-level data: model parameters, widths, transfer weights."""
+
+    __slots__ = ('shape', 'arrays', 'coarsen', 'rweights', 'pweights',
+                 'nodes', 'h_np')
+
+    def __init__(self, shape, arrays, h_np, nodes):
+        self.shape = shape          # cell shape
+        self.arrays = arrays        # (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+        self.h_np = h_np            # numpy widths (for weight building)
+        self.nodes = nodes          # numpy node vectors
+        self.coarsen = None
+        self.rweights = None
+        self.pweights = None
+
+
+def build_levels(grid, vmodel, sc_dir, clevel, dtype):
+    """Build the full level hierarchy for one top-level sc_dir."""
+    rdtype = jnp.zeros(0, dtype=dtype).real.dtype
+
+    eta_x = jnp.asarray(vmodel.eta_x, dtype=dtype)
+    eta_y = (eta_x if vmodel.eta_y is vmodel.eta_x
+             else jnp.asarray(vmodel.eta_y, dtype=dtype))
+    eta_z = (eta_x if vmodel.eta_z is vmodel.eta_x
+             else jnp.asarray(vmodel.eta_z, dtype=dtype))
+    zeta = jnp.asarray(vmodel.zeta, dtype=rdtype)
+
+    h_np = [np.asarray(h, dtype=np.float64) for h in grid.h]
+    nodes = [np.r_[0., np.cumsum(h)] + o
+             for h, o in zip(h_np, grid.origin)]
+    shape = tuple(grid.shape_cells)
+    arrays = (eta_x, eta_y, eta_z, zeta,
+              *[jnp.asarray(h, dtype=rdtype) for h in h_np])
+    levels = [_Level(shape, arrays, h_np, nodes)]
+
+    for lvl in range(clevel):
+        cur = levels[-1]
+        cdir = _current_sc_dir(sc_dir, cur.shape)
+        coarsen = _coarsen_flags(cdir)
+        cur.coarsen = coarsen
+
+        # Coarse grid geometry.
+        ch_np, cnodes = [], []
+        for ax in range(3):
+            if coarsen[ax]:
+                cn = cur.nodes[ax][::2]
+            else:
+                cn = cur.nodes[ax]
+            cnodes.append(cn)
+            ch_np.append(np.diff(cn))
+        cshape = tuple(len(h) for h in ch_np)
+
+        # Restriction / prolongation weights (host).
+        rw, pw = [None]*3, [None]*3
+        for ax in range(3):
+            if coarsen[ax]:
+                centers = (cur.nodes[ax][:-1] + cur.nodes[ax][1:]) / 2
+                ccenters = (cnodes[ax][:-1] + cnodes[ax][1:]) / 2
+                wl, w0, wr = transfers.restrict_weights_1d(
+                    cur.nodes[ax], centers, cur.h_np[ax],
+                    cnodes[ax], ccenters, ch_np[ax])
+                rw[ax] = tuple(jnp.asarray(w, dtype=rdtype)
+                               for w in (wl, w0, wr))
+                pw[ax] = jnp.asarray(transfers.prolong_weights_1d(
+                    cur.nodes[ax], cnodes[ax]), dtype=rdtype)
+        cur.rweights = tuple(rw)
+        cur.pweights = tuple(pw)
+
+        # Coarse model parameters by child-cell summation.
+        cex = transfers.restrict_model_parameter(cur.arrays[0], coarsen)
+        if cur.arrays[1] is cur.arrays[0]:
+            cey = cex
+        else:
+            cey = transfers.restrict_model_parameter(cur.arrays[1], coarsen)
+        if cur.arrays[2] is cur.arrays[0]:
+            cez = cex
+        else:
+            cez = transfers.restrict_model_parameter(cur.arrays[2], coarsen)
+        czeta = transfers.restrict_model_parameter(cur.arrays[3], coarsen)
+        carrays = (cex, cey, cez, czeta,
+                   *[jnp.asarray(h, dtype=rdtype) for h in ch_np])
+        levels.append(_Level(cshape, carrays, ch_np, cnodes))
+
+    return levels
+
+
+# ======================================================================
+# The jitted MG cycle
+# ======================================================================
+
+def _smooth(e, s, arrays, nu, lr_dir, shape):
+    """Smoothing dispatch (reference parity: solver.py:738-799)."""
+    if nu <= 0:
+        return e
+    lr = _current_lr_dir(lr_dir, shape)
+    if lr == 0:
+        return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
+    for ax in _lr_axes(lr):
+        e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu, axis=ax)
+    return e
+
+
+def _residual_e(e, s, arrays):
+    return stencil.residual_parts(*s, *e, *arrays)
+
+
+def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
+    """Recursive (trace-time unrolled) multigrid body.
+
+    Mirrors the reference's recursion (solver.py:478-604) including the
+    `new_cycmax = cycmax - cyc` F-cycle construction.
+    """
+    (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
+    arrays = levels_arrays[lvl]
+    shape = static[lvl][0]
+    nlevels = len(levels_arrays)
+
+    if lvl == nlevels - 1:
+        # Coarsest grid: nu_coarse smoothing steps act as direct solve.
+        return _smooth(e, s, arrays, nu_coarse, lr_dir, shape)
+
+    if lvl == 0:
+        cycmax_here = cycmax
+    elif new_cycmax == 0 or cycle != 'F':
+        cycmax_here = cycmax
+    else:
+        cycmax_here = new_cycmax
+
+    it = 0
+    while it < cycmax_here:
+        e = _smooth(e, s, arrays, nu_pre, lr_dir, shape)
+
+        r = _residual_e(e, s, arrays)
+        coarsen = static[lvl][1]
+        rweights = static[lvl][3]
+        pweights = static[lvl][4]
+        rc = transfers.restrict(*r, rweights, coarsen)
+        rc = stencil.pec_mask_apply(*rc)
+        ec = tuple(jnp.zeros(sh, dtype=e[0].dtype)
+                   for sh in _edge_shapes(static[lvl + 1][0]))
+
+        ec = _mg_rec(ec, rc, levels_arrays, static, lvl + 1,
+                     2 if cycle in ['F', 'W'] else 1,
+                     cycmax_here - it, conf)
+
+        e = transfers.prolongate(*e, *ec, pweights, coarsen)
+        e = stencil.pec_mask_apply(*e)
+
+        e = _smooth(e, s, arrays, nu_post, lr_dir, shape)
+
+        it += 1
+        if lvl == 0:
+            break
+    return e
+
+
+def _edge_shapes(shape):
+    nx, ny, nz = shape
+    return ((nx, ny+1, nz+1), (nx+1, ny, nz+1), (nx+1, ny+1, nz))
+
+
+_CYCLE_CACHE = {}
+
+
+def get_cycle_fn(levels, conf, nu_init=0):
+    """Build (or fetch) the jitted one-top-level-cycle function."""
+    static = tuple(
+        (lv.shape, lv.coarsen,
+         None,
+         _freeze(lv.rweights), _freeze(lv.pweights))
+        for lv in levels)
+    key = (static, conf, nu_init)
+    if key in _CYCLE_CACHE:
+        return _CYCLE_CACHE[key]
+
+    # Un-freeze weights back to arrays for closure capture? No:
+    # weights are passed inside levels_arrays pytree.
+    def cycle_fn(e, s, levels_arrays, weights):
+        st = tuple(
+            (lv_shape, lv_coarsen, None, w_r, w_p)
+            for (lv_shape, lv_coarsen, _, _, _), (w_r, w_p)
+            in zip(static, weights))
+        if nu_init > 0:
+            e = _smooth(e, s, levels_arrays[0], nu_init, conf[4],
+                        static[0][0])
+        return _mg_rec(e, s, levels_arrays, st, 0,
+                       2 if conf[3] in ['F', 'W'] else 1, 0, conf)
+
+    fn = jax.jit(cycle_fn)
+    _CYCLE_CACHE[key] = fn
+    return fn
+
+
+def _freeze(x):
+    """Hashable static descriptor of (nested) weight presence."""
+    if x is None:
+        return None
+    if isinstance(x, tuple):
+        return tuple(_freeze(i) for i in x)
+    return 'arr'
+
+
+def _weights_pytree(levels):
+    return tuple((lv.rweights, lv.pweights) for lv in levels)
+
+
+@jax.jit
+def _norm(rx, ry, rz):
+    return jnp.sqrt(jnp.sum(jnp.abs(rx)**2) + jnp.sum(jnp.abs(ry)**2) +
+                    jnp.sum(jnp.abs(rz)**2))
+
+
+def residual_norm(e, s, arrays):
+    r = _jit_residual(e, s, arrays)
+    return float(_norm(*r))
+
+
+@jax.jit
+def _jit_residual(e, s, arrays):
+    return _residual_e(e, s, arrays)
+
+
+# ======================================================================
+# Host drivers: multigrid and krylov
+# ======================================================================
+
+class _SolveContext:
+    """Per-solve state: device fields and level hierarchies per sc_dir."""
+
+    def __init__(self, grid, vmodel, sfield, efield, var):
+        self.grid = grid
+        self.vmodel = vmodel
+        self.var = var
+        self.dtype = np.asarray(sfield.fx).dtype
+        self.s = tuple(jnp.asarray(f) for f in
+                       (sfield.fx, sfield.fy, sfield.fz))
+        self.e = tuple(jnp.asarray(f) for f in
+                       (efield.fx, efield.fy, efield.fz))
+        self._levels = {}
+
+    def levels(self, sc_dir):
+        if sc_dir not in self._levels:
+            clevel = int(self.var.clevel[int(sc_dir)])
+            self._levels[sc_dir] = build_levels(
+                self.grid, self.vmodel, int(sc_dir), clevel, self.dtype)
+        return self._levels[sc_dir]
+
+
+def multigrid(ctx, var, e=None, s=None, track=True):
+    """Run MG cycles with the reference's termination logic.
+
+    If ``e``/``s`` are given, runs on those fields (used as Krylov
+    preconditioner); else on ctx.e/ctx.s (stand-alone, stores back).
+    """
+    standalone = e is None
+    if standalone:
+        e, s = ctx.e, ctx.s
+
+    fine = ctx.levels(int(var.sc_dir))[0]
+    l2_last = residual_norm(e, s, fine.arrays)
+    l2_stag = np.ones(var._maxcycle) * l2_last
+
+    it = 0
+    first = True
+    while True:
+        conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
+                int(var.lr_dir))
+        levels = ctx.levels(int(var.sc_dir))
+        nu_init = var.nu_init if (first and it == 0) else 0
+        fn = get_cycle_fn(levels, conf, nu_init=nu_init)
+        first = False
+
+        arrays = tuple(lv.arrays for lv in levels)
+        weights = _weights_pytree(levels)
+        e = fn(e, s, arrays, weights)
+
+        it += 1
+        var.it += 1
+        l2_prev = l2_last
+        l2_stag[(it - 1) % var._maxcycle] = l2_last
+        l2_last = residual_norm(e, s, levels[0].arrays)
+
+        if track:
+            var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
+                                         var.time.elapsed]
+            var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
+            _print_cycle_info(var, l2_last, l2_prev)
+
+        # Advance sc/lr schedules (per top-level cycle).
+        if var.sc_cycle:
+            var.sc_dir = next(var.sc_cycle)
+        if var.lr_cycle:
+            var.lr_dir = next(var.lr_cycle)
+
+        if _terminate(var, l2_last, l2_stag[(it - 1) % var._maxcycle], it):
+            break
+
+    var.l2 = l2_last
+    if standalone:
+        ctx.e = e
+    return e
+
+
+def _print_cycle_info(var, l2_last, l2_prev):
+    """Per-cycle log line (reference parity: solver.py:1575-1648)."""
+    if var.verb < 0:
+        var.one_liner(l2_last)
+        return
+    if var.verb < 3:
+        return
+    if var._first_cycle and var.verb > 3:
+        var.cprint("\n", 3)
+        var._first_cycle = False
+    info = f"   [{var.time.now}]   {l2_last/var.l2_refe:.3e} "
+    info += f"after {var.it:3} {var.cycle}-cycles; "
+    info += f"[{l2_last:.3e}, {l2_last/max(l2_prev, 1e-300):.3f}]"
+    info += f" {int(var.sc_dir)} {int(var.lr_dir)}"
+    var.cprint(info, 3)
+
+
+def _terminate(var, l2_last, l2_stag, it):
+    """Termination criteria (reference parity: solver.py:1682-1744)."""
+    finished = False
+    sslabort = False
+
+    if l2_last < var.tol * var.l2_refe:
+        var.exit_message = "CONVERGED"
+        finished = True
+    elif l2_last > 10 * var.l2_refe or not np.isfinite(l2_last):
+        var.exit_message = "DIVERGED"
+        finished = True
+        sslabort = True
+    elif it > 2 and l2_last >= l2_stag:
+        var.exit_message = "STAGNATED"
+        finished = True
+        sslabort = True
+    elif it == var.maxit:
+        if not var.sslsolver:
+            var.exit_message = "MAX. ITERATION REACHED, NOT CONVERGED"
+        finished = True
+
+    if finished:
+        if var.sslsolver and sslabort:
+            raise _ConvergenceError
+        elif not var.sslsolver:
+            add = "\n" if var.verb < 5 else ""
+            var.cprint(add + "   > " + var.exit_message, 2)
+    return finished
+
+
+class _ConvergenceError(Exception):
+    """Raised to abort the Krylov loop on divergence/stagnation."""
+
+
+def _dot(a, b):
+    """Standard complex inner product <a, b> = sum(conj(a)*b)."""
+    return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+
+
+def _axpy(alpha, x, y):
+    return tuple(yy + alpha * xx for xx, yy in zip(x, y))
+
+
+def krylov(ctx, var):
+    """MG-preconditioned BiCGSTAB/CGS (reference: solver.py:610-734).
+
+    Matches scipy's algorithms so iteration counts are comparable; the
+    preconditioner M is one MG cycle (with sc/lr schedules advancing one
+    step per application).
+    """
+    fine = ctx.levels(int(var.sc_dir))[0]
+    arrays = fine.arrays
+    s = ctx.s
+    x = ctx.e
+
+    def matvec(e):
+        return stencil.amat(*e, *arrays)
+
+    def precond(r):
+        ez = tuple(jnp.zeros_like(c) for c in r)
+        try:
+            return multigrid(ctx, var, e=ez, s=r, track=False)
+        except _ConvergenceError:
+            raise
+
+    def callback(xk):
+        var._ssl_it += 1
+        var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
+                                     var.time.elapsed]
+        var.l2 = residual_norm(xk, s, arrays)
+        var.error_at_cycle = np.r_[var.error_at_cycle, var.l2]
+        if var.verb > 3:
+            log = f"   [{var.time.now}]   {var.l2/var.l2_refe:.3e} "
+            log += f" after {var._ssl_it:3} {var.sslsolver}-cycles"
+            var.cprint(log, 3)
+        elif var.verb < 0:
+            var.one_liner(var.l2)
+
+    bnorm = float(_norm(*s))
+    atol = max(float(var.tol) * bnorm, 1e-30)
+
+    try:
+        if var.sslsolver == 'bicgstab':
+            x, info = _bicgstab(matvec, precond, s, x, atol,
+                                var.ssl_maxit, callback)
+        else:
+            x, info = _cgs(matvec, precond, s, x, atol,
+                           var.ssl_maxit, callback)
+    except _ConvergenceError:
+        info = -1
+        x = tuple(jnp.zeros_like(c) for c in s)
+        var.exit_message += " (returned field is zero)"
+
+    pre = "\n   > "
+    if info < 0:
+        if var.exit_message == '':
+            var.exit_message = f"Error in {var.sslsolver} ({info})"
+        pre = "\n* ERROR   :: "
+    elif info > 0:
+        var.exit_message = "MAX. ITERATION REACHED, NOT CONVERGED"
+    else:
+        var.exit_message = "CONVERGED"
+    var.cprint(pre + var.exit_message, 2)
+
+    ctx.e = x
+    var.l2 = residual_norm(x, s, arrays)
+    return x
+
+
+def _bicgstab(matvec, precond, b, x, atol, maxiter, callback):
+    """Right-preconditioned BiCGSTAB (scipy-compatible formulation)."""
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    rho_prev, alpha, omega = 1.0, 1.0, 1.0
+    v = p = None
+
+    for it in range(maxiter):
+        if float(_norm(*r)) <= atol:
+            return x, 0
+        rho = complex(_dot(rtilde, r))
+        if rho == 0:
+            return x, -10
+        if it == 0:
+            p = r
+        else:
+            beta = (rho / rho_prev) * (alpha / omega)
+            p = tuple(rr + beta * (pp - omega * vv)
+                      for rr, pp, vv in zip(r, p, v))
+        phat = precond(p)
+        v = matvec(phat)
+        denom = complex(_dot(rtilde, v))
+        if denom == 0:
+            return x, -11
+        alpha = rho / denom
+        sres = tuple(rr - alpha * vv for rr, vv in zip(r, v))
+        if float(_norm(*sres)) <= atol:
+            x = _axpy(alpha, phat, x)
+            callback(x)
+            return x, 0
+        shat = precond(sres)
+        t = matvec(shat)
+        tt = complex(_dot(t, t))
+        if tt == 0:
+            return x, -12
+        omega = complex(_dot(t, sres)) / tt
+        x = _axpy(alpha, phat, x)
+        x = _axpy(omega, shat, x)
+        r = tuple(ss - omega * ttt for ss, ttt in zip(sres, t))
+        rho_prev = rho
+        callback(x)
+        if omega == 0:
+            return x, -13
+    return x, maxiter
+
+
+def _cgs(matvec, precond, b, x, atol, maxiter, callback):
+    """Preconditioned CGS."""
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    rho_prev = 1.0
+    u = p = q = None
+
+    for it in range(maxiter):
+        if float(_norm(*r)) <= atol:
+            return x, 0
+        rho = complex(_dot(rtilde, r))
+        if rho == 0:
+            return x, -10
+        if it == 0:
+            u = r
+            p = r
+        else:
+            beta = rho / rho_prev
+            u = tuple(rr + beta * qq for rr, qq in zip(r, q))
+            p = tuple(uu + beta * (qq + beta * pp)
+                      for uu, qq, pp in zip(u, q, p))
+        phat = precond(p)
+        vhat = matvec(phat)
+        denom = complex(_dot(rtilde, vhat))
+        if denom == 0:
+            return x, -11
+        alpha = rho / denom
+        q = tuple(uu - alpha * vv for uu, vv in zip(u, vhat))
+        uq = tuple(uu + qq for uu, qq in zip(u, q))
+        uqhat = precond(uq)
+        x = _axpy(alpha, uqhat, x)
+        w = matvec(uqhat)
+        r = tuple(rr - alpha * ww for rr, ww in zip(r, w))
+        rho_prev = rho
+        callback(x)
+    return x, maxiter
+
+
+# ======================================================================
+# Main entry point
+# ======================================================================
+
+def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
+          semicoarsening=False, linerelaxation=False, verb=2, **kwargs):
+    """Solve the 3-D EM diffusion system A E = s·μ0·Js.
+
+    Reference parity: emg3d/solver.py:35-430 (same signature, defaults,
+    termination behavior, info_dict contents, and in-place efield update
+    when an initial field is provided).
+
+    Parameters (selection; see the reference for the full description)
+    ----------
+    grid : TensorMesh
+    model : Model
+    sfield : SourceField
+    efield : Field, optional — initial guess; updated in place (host
+        arrays); if provided, nothing is returned (unless return_info).
+    cycle : {'F', 'V', 'W', None}
+    sslsolver : {True, False, 'bicgstab', 'cgs'}
+    semicoarsening : bool/int/digit-cycle
+    linerelaxation : bool/int/digit-cycle
+    verb : int
+    kwargs : tol, maxit, nu_init, nu_pre, nu_coarse, nu_post, clevel,
+        return_info, log
+
+    Returns
+    -------
+    efield : Field (if no initial efield was provided)
+    info_dict : dict (if return_info=True)
+    """
+    var = MGParameters(
+        verb=verb, cycle=cycle, sslsolver=sslsolver,
+        linerelaxation=linerelaxation, semicoarsening=semicoarsening,
+        shape_cells=tuple(grid.shape_cells), **kwargs)
+
+    do_return = True
+
+    # Compute reference error for tolerance.
+    var.l2_refe = float(sfield.norm())
+    var.cprint(f"\n:: emg3d_tpu START :: {var.time.now} :: "
+               f"v{__import__('emg3d_tpu').__version__}\n", 2)
+    var.cprint(var, 2)
+
+    vmodel = models.VolumeModel(grid, model, sfield)
+
+    if efield is None:
+        efield = fields.Field.zeros(
+            grid, frequency=sfield._frequency,
+            dtype=np.asarray(sfield.fx).dtype)
+    else:
+        do_return = False
+        var.do_return = False
+        # Warm start: if converged already, return immediately.
+        ctx0 = _SolveContext(grid, vmodel, sfield, efield, var)
+        fine = ctx0.levels(int(var.sc_dir))[0]
+        l2 = residual_norm(ctx0.e, ctx0.s, fine.arrays)
+        if l2 < var.tol * var.l2_refe and not var.sslsolver:
+            var.exit_message = "CONVERGED"
+            var.cprint("   > NOTHING DONE (provided efield already "
+                       "converged)\n", 2)
+            if var.return_info:
+                return _info_dict(var)
+            return None
+
+    # Zero source field => zero efield.
+    if var.l2_refe == 0:
+        var.exit_message = "CONVERGED"
+        var.cprint("   > RETURN ZERO E-FIELD (provided sfield is zero)\n",
+                   2)
+        z = fields.Field.zeros(grid, frequency=sfield._frequency,
+                               dtype=np.asarray(sfield.fx).dtype)
+        if not do_return:
+            for a, b in zip((efield.fx, efield.fy, efield.fz),
+                            (z.fx, z.fy, z.fz)):
+                np.asarray(a)[...] = b
+            if var.return_info:
+                return _info_dict(var)
+            return None
+        if var.return_info:
+            return z, _info_dict(var)
+        return z
+
+    ctx = _SolveContext(grid, vmodel, sfield, efield, var)
+
+    try:
+        if var.sslsolver:
+            krylov(ctx, var)
+        else:
+            multigrid(ctx, var)
+    except _ConvergenceError:
+        pass
+
+    var.runtime_at_cycle = np.r_[var.runtime_at_cycle, var.time.elapsed]
+    var.error_at_cycle = np.r_[var.error_at_cycle, var.l2]
+
+    if var.verb < 0:
+        var.one_liner(var.l2, True)
+    elif var.verb > 1:
+        var.cprint(f"\n:: emg3d_tpu END   :: {var.time.now} :: "
+                   f"runtime = {var.time.runtime}\n", 2)
+
+    out = fields.Field(np.array(ctx.e[0]), np.array(ctx.e[1]),
+                       np.array(ctx.e[2]),
+                       frequency=sfield._frequency)
+
+    if not do_return:
+        # In-place update of the provided field (reference semantics);
+        # if its buffers are read-only (e.g. device-backed), rebind.
+        for name in ('fx', 'fy', 'fz'):
+            dst = np.asarray(getattr(efield, name))
+            src = getattr(out, name)
+            if dst.flags.writeable:
+                dst[...] = src
+            else:
+                setattr(efield, name, src)
+        if var.return_info:
+            return _info_dict(var)
+        return None
+
+    if var.return_info:
+        return out, _info_dict(var)
+    return out
+
+
+def _info_dict(var):
+    return {
+        'exit': 0 if var.exit_message == 'CONVERGED' else 1,
+        'exit_message': var.exit_message,
+        'abs_error': var.l2,
+        'rel_error': var.l2 / var.l2_refe if var.l2_refe else 0.0,
+        'ref_error': var.l2_refe,
+        'tol': var.tol,
+        'it_mg': var.it,
+        'it_ssl': var._ssl_it,
+        'time': var.time.elapsed,
+        'runtime_at_cycle': var.runtime_at_cycle,
+        'error_at_cycle': var.error_at_cycle,
+        'log': var.log_message,
+    }

@@ -1,0 +1,167 @@
+"""Solver parity tests against the reference's golden regression data.
+
+The parity bar (SURVEY.md §7.0): converge to the same tolerance and
+match the golden fields within the accuracy the golden data itself has
+(tol·cond); exact per-cycle error strings are implementation-defined
+(different smoother ordering) and not asserted.
+"""
+import numpy as np
+import pytest
+
+from emg3d_tpu import (TensorMesh, Model, SourceField, Field, solve,
+                       get_h_field)
+
+import helpers
+
+
+@pytest.fixture(scope='module')
+def reg():
+    return helpers.load_regression()
+
+
+def _rel(e, golden):
+    return (np.linalg.norm(e.field - golden.field) /
+            np.linalg.norm(golden.field))
+
+
+class TestHomogeneousVTI:
+    """Scenario 1: homogeneous VTI fullspace (res>*)."""
+
+    @pytest.fixture(scope='class')
+    def setup(self, reg):
+        grid = helpers.get_grid(reg, 'res>grid')
+        model = helpers.get_model(reg, 'res>model', grid)
+        sfield = helpers.get_field(reg, 'res>sfield', grid, source=True)
+        return reg, grid, model, sfield
+
+    def test_fcycle(self, setup):
+        reg, grid, model, sfield = setup
+        golden = helpers.get_field(reg, 'res>Fresult', grid)
+        e, info = solve(grid, model, sfield, cycle='F', verb=1,
+                        return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['rel_error'] < 1e-6
+        assert _rel(e, golden) < 1e-5
+
+    def test_vcycle(self, setup):
+        reg, grid, model, sfield = setup
+        golden = helpers.get_field(reg, 'res>Vresult', grid)
+        e, info = solve(grid, model, sfield, cycle='V', verb=1,
+                        return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert _rel(e, golden) < 1e-5
+
+    def test_bicgstab(self, setup):
+        reg, grid, model, sfield = setup
+        golden = helpers.get_field(reg, 'res>bicresult', grid)
+        e, info = solve(grid, model, sfield, cycle='F',
+                        sslsolver='bicgstab', verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['it_ssl'] <= 6  # reference: 3 ssl steps on 8^3 case
+        assert _rel(e, golden) < 1e-5
+
+    def test_restart_equivalence(self, setup):
+        """2x2 cycles resumed == 4 cycles (reference test_solver 180-186).
+        """
+        reg, grid, model, sfield = setup
+        e4, info = solve(grid, model, sfield, cycle='V', maxit=4, verb=1,
+                         return_info=True)
+        e2 = solve(grid, model, sfield, cycle='V', maxit=2, verb=1)
+        # Resume: pass e2 as initial field (updated in place).
+        solve(grid, model, sfield, efield=e2, cycle='V', maxit=2, verb=1)
+        np.testing.assert_allclose(e2.field, e4.field, rtol=1e-10)
+
+
+class TestHeterogeneousTriaxial:
+    """Scenario 2: random tri-axial model, sc=123, lr=456 (reg_2>*)."""
+
+    def test_sc_lr_cycling(self, reg):
+        grid = helpers.get_grid(reg, 'reg_2>grid')
+        model = helpers.get_model(reg, 'reg_2>model', grid)
+        sfield = helpers.get_field(reg, 'reg_2>sfield', grid, source=True)
+        golden = helpers.get_field(reg, 'reg_2>result', grid)
+        e, info = solve(grid, model, sfield, semicoarsening=123,
+                        linerelaxation=456, tol=1e-4, maxit=4, nu_init=2,
+                        clevel=10, verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        # Golden solved to tol=1e-4 only; both fields sit within that
+        # band around the true solution.
+        assert _rel(e, golden) < 5e-4
+
+        # H-field from the golden E-field must match the golden H-field.
+        golden_h = helpers.get_field(reg, 'reg_2>hresult', grid)
+        h = get_h_field(grid, model, golden)
+        nrm = (np.linalg.norm(h.field - golden_h.field) /
+               np.linalg.norm(golden_h.field))
+        assert nrm < 1e-8
+
+
+class TestLaplace:
+    """Scenario 4: Laplace domain (real fields), freq < 0 (lap>*)."""
+
+    def test_fcycle_laplace(self, reg):
+        grid = helpers.get_grid(reg, 'lap>grid')
+        model = helpers.get_model(reg, 'lap>model', grid)
+        sfield = helpers.get_field(reg, 'lap>sfield', grid, source=True)
+        golden = helpers.get_field(reg, 'lap>Fresult', grid)
+        assert np.asarray(sfield.fx).dtype.kind == 'f'
+        e, info = solve(grid, model, sfield, cycle='F', verb=1,
+                        return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert np.asarray(e.fx).dtype.kind == 'f'
+        assert _rel(e, golden) < 1e-5
+
+
+class TestBehavior:
+    """Exit conditions and input validation."""
+
+    def _tiny(self):
+        grid = TensorMesh([np.full(4, 50.)] * 3)
+        model = Model(grid, property_x=1.)
+        sfield = SourceField.zeros(grid, frequency=1.0)
+        sfield.fx[2, 2, 2] = 1.0
+        return grid, model, sfield
+
+    def test_zero_source(self):
+        grid, model, _ = self._tiny()
+        sfield = SourceField.zeros(grid, frequency=1.0)
+        e, info = solve(grid, model, sfield, cycle='F', verb=1,
+                        return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert np.all(e.field == 0)
+
+    def test_max_iteration(self, capsys):
+        grid, model, sfield = self._tiny()
+        _, info = solve(grid, model, sfield, cycle='V', maxit=1, verb=1,
+                        return_info=True)
+        assert 'MAX. ITERATION REACHED' in info['exit_message']
+
+    def test_bad_inputs(self):
+        grid, model, sfield = self._tiny()
+        with pytest.raises(ValueError, match='`cycle`'):
+            solve(grid, model, sfield, cycle='X', verb=1)
+        with pytest.raises(ValueError, match='`sslsolver`'):
+            solve(grid, model, sfield, sslsolver='nope', verb=1)
+        with pytest.raises(ValueError, match='At least'):
+            solve(grid, model, sfield, cycle=None, sslsolver=False,
+                  verb=1)
+        with pytest.raises(ValueError, match='`semicoarsening`'):
+            solve(grid, model, sfield, semicoarsening=5, verb=1)
+        with pytest.raises(ValueError, match='`linerelaxation`'):
+            solve(grid, model, sfield, linerelaxation=8, verb=1)
+
+    def test_info_dict(self):
+        grid, model, sfield = self._tiny()
+        e, info = solve(grid, model, sfield, cycle='V', verb=1,
+                        return_info=True)
+        for key in ['exit', 'exit_message', 'abs_error', 'rel_error',
+                    'it_mg', 'it_ssl', 'time', 'runtime_at_cycle',
+                    'error_at_cycle', 'log']:
+            assert key in info
+        assert info['exit'] == 0
+
+    def test_log_capture(self):
+        grid, model, sfield = self._tiny()
+        _, info = solve(grid, model, sfield, cycle='V', verb=3, log=1,
+                        return_info=True)
+        assert 'CONVERGED' in info['log']
