@@ -533,11 +533,13 @@ class _SolveContext:
         self.grid = grid
         self.vmodel = vmodel
         self.var = var
-        self.dtype = np.asarray(sfield.fx).dtype
+        # jnp.asarray canonicalizes to 32-bit types when x64 is off
+        # (the TPU fast path); use the canonical dtype downstream.
         self.s = tuple(jnp.asarray(f) for f in
                        (sfield.fx, sfield.fy, sfield.fz))
-        self.e = tuple(jnp.asarray(f) for f in
+        self.e = tuple(jnp.asarray(f, dtype=self.s[0].dtype) for f in
                        (efield.fx, efield.fy, efield.fz))
+        self.dtype = self.s[0].dtype
         self._levels = {}
 
     def levels(self, sc_dir):
