@@ -22,6 +22,8 @@ factorization is A = L D Lᵀ without conjugation, as in [Muld07].
 """
 import jax.numpy as jnp
 
+from .. import cx
+
 __all__ = ['ldl_solve_sparse', 'ldl_factor', 'ldl_apply', 'ldl_apply_mat',
            'block_tridiag_solve']
 
@@ -117,11 +119,11 @@ def ldl_factor(A):
                 v = v - L[i][p] * L[j][p] * (1.0 / dinv[p])
             L[i][j] = v * dj
         Lcols.append(j)
-    Lmat = jnp.zeros_like(A)
+    Lmat = cx.zeros_like(A)
     for i in range(k):
         for j in range(i):
             Lmat = Lmat.at[..., i, j].set(L[i][j])
-    return Lmat, jnp.stack(dinv, axis=-1)
+    return Lmat, cx.stack(dinv, axis=-1)
 
 
 def ldl_apply(fact, b):
@@ -140,7 +142,7 @@ def ldl_apply(fact, b):
     for i in range(k - 2, -1, -1):
         for p in range(i + 1, k):
             y[i] = y[i] - L[..., p, i] * y[p]
-    return jnp.stack(y, axis=-1)
+    return cx.stack(y, axis=-1)
 
 
 def ldl_apply_mat(fact, M):
@@ -175,13 +177,13 @@ def block_tridiag_solve(D, B, r):
     from jax import lax
 
     def mm(a, b):
-        return jnp.einsum('...ij,...jk->...ik', a, b)
+        return cx.matmul_nt(a, b)
 
     def mv(a, b):
-        return jnp.einsum('...ij,...j->...i', a, b)
+        return cx.matvec(a, b)
 
     def t(a):
-        return jnp.swapaxes(a, -1, -2)
+        return cx.swapaxes(a, -1, -2)
 
     fact0 = ldl_factor(D[0])
 
@@ -199,9 +201,9 @@ def block_tridiag_solve(D, B, r):
     (_, _), (facts, ys) = lax.scan(
         fwd, (fact0, y0), (D[1:], B[1:], r[1:]))
     # Prepend station 0.
-    factsL = jnp.concatenate([fact0[0][None], facts[0]], axis=0)
-    factsd = jnp.concatenate([fact0[1][None], facts[1]], axis=0)
-    ys = jnp.concatenate([y0[None], ys], axis=0)
+    factsL = cx.concatenate([fact0[0][None], facts[0]], axis=0)
+    factsd = cx.concatenate([fact0[1][None], facts[1]], axis=0)
+    ys = cx.concatenate([y0[None], ys], axis=0)
 
     # Backward: δ_S-1 = C^{-1} y;  δ_i = C_i^{-1} (y_i − B_{i+1}ᵀ δ_{i+1}).
     xS = ldl_apply((factsL[-1], factsd[-1]), ys[-1])
@@ -216,4 +218,4 @@ def block_tridiag_solve(D, B, r):
         bwd, xS,
         (factsL[:-1], factsd[:-1], ys[:-1], B[1:]),
         reverse=True)
-    return jnp.concatenate([xs, xS[None]], axis=0)
+    return cx.concatenate([xs, xS[None]], axis=0)

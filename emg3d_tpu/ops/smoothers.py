@@ -27,6 +27,7 @@ alternating the color order per iteration.
 """
 import jax.numpy as jnp
 
+from .. import cx
 from . import stencil
 from .blocksolve import ldl_solve_sparse, block_tridiag_solve
 from .coeffs import node_coefficients, node_block_entries
@@ -62,26 +63,26 @@ def _point_color_update(e, s, par, entries, color):
     # Node color mask; zero-based node (i0,j0,k0) = (ix-1, iy-1, iz-1).
     # ``color`` is a (traced) scalar 0..7 encoding (cx, cy, cz) parity.
     nsh = rb[0].shape
-    cx = color % 2
-    cy = (color // 2) % 2
-    cz = color // 4
+    px = color % 2
+    py = (color // 2) % 2
+    pz = color // 4
     ii = jnp.arange(nsh[0])[:, None, None]
     jj = jnp.arange(nsh[1])[None, :, None]
     kk = jnp.arange(nsh[2])[None, None, :]
-    mask = ((((ii + 1) % 2) == cx) & (((jj + 1) % 2) == cy) &
-            (((kk + 1) % 2) == cz))
-    dm = [jnp.where(mask, d, 0) for d in delta]
+    mask = ((((ii + 1) % 2) == px) & (((jj + 1) % 2) == py) &
+            (((kk + 1) % 2) == pz))
+    dm = [cx.where(mask, d, 0) for d in delta]
 
     # Scatter-add: each edge receives δ from exactly one active node.
     ex = ex.at[:, 1:-1, 1:-1].add(
-        jnp.pad(dm[0], ((0, 1), (0, 0), (0, 0))) +
-        jnp.pad(dm[1], ((1, 0), (0, 0), (0, 0))))
+        cx.pad(dm[0], ((0, 1), (0, 0), (0, 0))) +
+        cx.pad(dm[1], ((1, 0), (0, 0), (0, 0))))
     ey = ey.at[1:-1, :, 1:-1].add(
-        jnp.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
-        jnp.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
+        cx.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
+        cx.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
     ez = ez.at[1:-1, 1:-1, :].add(
-        jnp.pad(dm[4], ((0, 0), (0, 0), (0, 1))) +
-        jnp.pad(dm[5], ((0, 0), (0, 0), (1, 0))))
+        cx.pad(dm[4], ((0, 0), (0, 0), (0, 1))) +
+        cx.pad(dm[5], ((0, 0), (0, 0), (1, 0))))
     return ex, ey, ez
 
 
@@ -118,19 +119,20 @@ def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 # Line relaxation
 # ----------------------------------------------------------------------
 
-def _line_blocks_x(c, dtype, nx):
-    """Station blocks D (nx, ny-1, nz-1, 5, 5) and B for x-lines."""
+def _line_blocks_x(c, proto, nx):
+    """Station blocks D (nx, ny-1, nz-1, 5, 5) and B for x-lines.
+
+    ``proto`` is a prototype array fixing the representation (native
+    complex or C2 split pair) and dtype of the blocks.
+    """
     ent = node_block_entries(c)
     nsh = ent[(0, 0)].shape  # (nx-1, ny-1, nz-1)
 
-    def nz_():
-        return jnp.zeros(nsh, dtype)
-
     def full(v):
-        return jnp.broadcast_to(v, nsh).astype(dtype)
+        return cx.broadcast_to(v, nsh)
 
     # --- D for stations 0..nx-2 (node i+1 = node array index i).
-    D = jnp.zeros((nx,) + nsh[1:] + (5, 5), dtype)
+    D = cx.zeros((nx,) + nsh[1:] + (5, 5), like=proto)
 
     def setD(a, b, val):
         # Symmetric set into stations 0..nx-2.
@@ -159,7 +161,7 @@ def _line_blocks_x(c, dtype, nx):
         D = D.at[-1, ..., k, k].set(1.0)
 
     # --- Sub-diagonal blocks B_i (station i -> station i-1), i=1..nx-1.
-    B = jnp.zeros_like(D)
+    B = cx.zeros_like(D)
     # Row 0: ex(i) ↔ transverse(node i): entries (2..5, 1) at node idx i-1.
     B = B.at[1:, ..., 0, 1].set(full(ent[(2, 1)]))
     B = B.at[1:, ..., 0, 2].set(full(ent[(3, 1)]))
@@ -186,11 +188,11 @@ def _line_color_update_x(e, s, par, D, B, color):
     # Station residuals (nx, ny-1, nz-1, 5).
     r0 = rx[:, 1:-1, 1:-1]
     pad = ((0, 1), (0, 0), (0, 0))
-    r1 = jnp.pad(ry[1:-1, :-1, 1:-1], pad)
-    r2 = jnp.pad(ry[1:-1, 1:, 1:-1], pad)
-    r3 = jnp.pad(rz[1:-1, 1:-1, :-1], pad)
-    r4 = jnp.pad(rz[1:-1, 1:-1, 1:], pad)
-    r = jnp.stack([r0, r1, r2, r3, r4], axis=-1)
+    r1 = cx.pad(ry[1:-1, :-1, 1:-1], pad)
+    r2 = cx.pad(ry[1:-1, 1:, 1:-1], pad)
+    r3 = cx.pad(rz[1:-1, 1:-1, :-1], pad)
+    r4 = cx.pad(rz[1:-1, 1:-1, 1:], pad)
+    r = cx.stack([r0, r1, r2, r3, r4], axis=-1)
 
     delta = block_tridiag_solve(D, B, r)
 
@@ -204,7 +206,7 @@ def _line_color_update_x(e, s, par, D, B, color):
     jj = jnp.arange(r0.shape[1])[:, None]
     kk = jnp.arange(r0.shape[2])[None, :]
     mask = ((((jj + 1) % 2) == cy) & (((kk + 1) % 2) == cz))
-    dm = jnp.where(mask[None, :, :, None], delta, 0)
+    dm = cx.where(mask[None, :, :, None], delta, 0)
 
     ex = ex.at[:, 1:-1, 1:-1].add(dm[..., 0])
     ey = ey.at[1:-1, :-1, 1:-1].add(dm[:-1, ..., 1])
@@ -220,7 +222,7 @@ def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
-    D, B = _line_blocks_x(c, ex.dtype, ex.shape[0])
+    D, B = _line_blocks_x(c, _proto(ex), ex.shape[0])
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
@@ -235,13 +237,18 @@ def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     return e
 
 
+def _proto(a):
+    """Representation prototype (C2 or plain) for zeros-like creation."""
+    return a
+
+
 def _rot_fwd(a):
     """Cyclic axis rotation x→y→z→x (array axes (1, 2, 0))."""
-    return jnp.transpose(a, (1, 2, 0))
+    return cx.transpose(a, (1, 2, 0))
 
 
 def _rot_bwd(a):
-    return jnp.transpose(a, (2, 0, 1))
+    return cx.transpose(a, (2, 0, 1))
 
 
 def line_relaxation(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,

@@ -20,6 +20,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .. import cx
+
 __all__ = ['curl_factors', 'amat', 'residual_parts', 'pec_mask_apply',
            'apply_pec', 'zeta_face_weights', 'eta_edge_sums']
 
@@ -83,9 +85,9 @@ def curl_factors(ex, ey, ez, zeta, hx, hy, hz):
     ihy = (1.0 / hy)[None, :, None]
     ihz = (1.0 / hz)[None, None, :]
 
-    v1 = jnp.diff(ez, axis=1) * ihy - jnp.diff(ey, axis=2) * ihz
-    v2 = jnp.diff(ex, axis=2) * ihz - jnp.diff(ez, axis=0) * ihx
-    v3 = jnp.diff(ey, axis=0) * ihx - jnp.diff(ex, axis=1) * ihy
+    v1 = cx.diff(ez, axis=1) * ihy - cx.diff(ey, axis=2) * ihz
+    v2 = cx.diff(ex, axis=2) * ihz - cx.diff(ez, axis=0) * ihx
+    v3 = cx.diff(ey, axis=0) * ihx - cx.diff(ex, axis=1) * ihy
 
     wx, wy, wz = zeta_face_weights(zeta)
     return v1 * wx, v2 * wy, v3 * wz
@@ -93,7 +95,7 @@ def curl_factors(ex, ey, ez, zeta, hx, hy, hz):
 
 def _zero_pad_interior(a, pads):
     """Pad with zeros so interior-only arrays regain full edge shape."""
-    return jnp.pad(a, pads)
+    return cx.pad(a, pads)
 
 
 @partial(jax.jit, donate_argnums=())
@@ -112,14 +114,14 @@ def amat(ex, ey, ez, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
 
     # Second curl, interior edges only.
     # rrx at x-edges (ix 0..nx-1, iy 1..ny-1, iz 1..nz-1):
-    rrx = (jnp.diff(u3[:, :, 1:-1] * ihy[:, :, :1], axis=1)
-           - jnp.diff(u2[:, 1:-1, :] * ihz[:, :1, :], axis=2))
+    rrx = (cx.diff(u3[:, :, 1:-1] * ihy[:, :, :1], axis=1)
+           - cx.diff(u2[:, 1:-1, :] * ihz[:, :1, :], axis=2))
     # rry at y-edges (ix 1..nx-1, iy 0..ny-1, iz 1..nz-1):
-    rry = (jnp.diff(u1[1:-1, :, :] * ihz[:1, :, :], axis=2)
-           - jnp.diff(u3[:, :, 1:-1] * ihx[:, :, :1], axis=0))
+    rry = (cx.diff(u1[1:-1, :, :] * ihz[:1, :, :], axis=2)
+           - cx.diff(u3[:, :, 1:-1] * ihx[:, :, :1], axis=0))
     # rrz at z-edges (ix 1..nx-1, iy 1..ny-1, iz 0..nz-1):
-    rrz = (jnp.diff(u2[:, 1:-1, :] * ihx[:, :1, :], axis=0)
-           - jnp.diff(u1[1:-1, :, :] * ihy[:1, :, :], axis=1))
+    rrz = (cx.diff(u2[:, 1:-1, :] * ihx[:, :1, :], axis=0)
+           - cx.diff(u1[1:-1, :, :] * ihy[:1, :, :], axis=1))
 
     # η-terms (4-cell averages; /4 folded into the 0.25 factor).
     stx, sty, stz = eta_edge_sums(eta_x, eta_y, eta_z)

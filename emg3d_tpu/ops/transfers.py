@@ -21,6 +21,8 @@ prolong_weights_1d) and passed as small arrays.
 import numpy as np
 import jax.numpy as jnp
 
+from .. import cx
+
 __all__ = ['restrict_weights_1d', 'prolong_weights_1d', 'restrict',
            'prolongate', 'restrict_model_parameter']
 
@@ -103,9 +105,10 @@ def _restrict_nodes(f, w, axis):
 
     center = f[sl(slice(None, None, 2))]
     inner = f[sl(slice(1, None, 2))]          # indices 1,3,..,nN-2
-    left = jnp.concatenate([f[sl(slice(0, 1))], inner], axis=axis)
-    right = jnp.concatenate([inner, f[sl(slice(-1, None))]], axis=axis)
-    return (wshape(wl) * left + wshape(w0) * center + wshape(wr) * right)
+    left = cx.concatenate([f[sl(slice(0, 1))], inner], axis=axis)
+    right = cx.concatenate([inner, f[sl(slice(-1, None))]], axis=axis)
+    # (complex) field on the left of * so C2 operator dispatch applies.
+    return (left * wshape(wl) + center * wshape(w0) + right * wshape(wr))
 
 
 def restrict(rx, ry, rz, weights, coarsen):
@@ -120,8 +123,6 @@ def restrict(rx, ry, rz, weights, coarsen):
     Returns coarse (crx, cry, crz); PEC boundaries are NOT re-zeroed
     here (caller applies PEC).
     """
-    cx, cy, cz = coarsen
-
     def tx(f, is_field_dir, axis):
         if not coarsen[axis]:
             return f
@@ -152,19 +153,19 @@ def _interleave_nodes(c, a, axis):
     sh[axis] = aa.shape[0]
     aa = aa.reshape(sh)
 
-    odd = aa * c[sl(slice(None, -1))] + (1 - aa) * c[sl(slice(1, None))]
+    odd = c[sl(slice(None, -1))] * aa + c[sl(slice(1, None))] * (1 - aa)
     even_head = c[sl(slice(None, -1))]
     # Interleave even_head and odd, then append the last even entry.
-    stacked = jnp.stack([even_head, odd], axis=axis + 1)
+    stacked = cx.stack([even_head, odd], axis=axis + 1)
     newshape = list(c.shape)
     newshape[axis] = 2 * (c.shape[axis] - 1)
     merged = stacked.reshape(newshape)
-    return jnp.concatenate([merged, c[sl(slice(-1, None))]], axis=axis)
+    return cx.concatenate([merged, c[sl(slice(-1, None))]], axis=axis)
 
 
 def _repeat_cells(c, axis):
     """Piecewise-constant upsampling along the field-direction axis."""
-    return jnp.repeat(c, 2, axis=axis)
+    return cx.repeat(c, 2, axis=axis)
 
 
 def prolongate(ex, ey, ez, cex, cey, cez, pweights, coarsen):

@@ -21,11 +21,13 @@ cycle type, dtype), so repeated solves on equal grids never recompile.
 import itertools
 from dataclasses import dataclass, field as dfield
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import fields, models, utils
+from . import cx, fields, models, utils
 from .ops import smoothers, stencil, transfers
 
 __all__ = ['solve', 'multigrid', 'krylov', 'MGParameters']
@@ -316,15 +318,35 @@ class _Level:
         self.pweights = None
 
 
-def build_levels(grid, vmodel, sc_dir, clevel, dtype):
+def use_split_complex():
+    """Whether to run with split re/im float pairs (C2).
+
+    TPU backends have no native complex support, so any non-CPU backend
+    defaults to the split representation; override with
+    EMG3D_TPU_SPLIT=0/1.
+    """
+    env = os.environ.get('EMG3D_TPU_SPLIT')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() != 'cpu'
+
+
+def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
     """Build the full level hierarchy for one top-level sc_dir."""
     rdtype = jnp.zeros(0, dtype=dtype).real.dtype
 
-    eta_x = jnp.asarray(vmodel.eta_x, dtype=dtype)
+    if split:
+        def as_eta(a):
+            return cx.aspair(np.asarray(a), dtype=rdtype)
+    else:
+        def as_eta(a):
+            return jnp.asarray(a, dtype=dtype)
+
+    eta_x = as_eta(vmodel.eta_x)
     eta_y = (eta_x if vmodel.eta_y is vmodel.eta_x
-             else jnp.asarray(vmodel.eta_y, dtype=dtype))
+             else as_eta(vmodel.eta_y))
     eta_z = (eta_x if vmodel.eta_z is vmodel.eta_x
-             else jnp.asarray(vmodel.eta_z, dtype=dtype))
+             else as_eta(vmodel.eta_z))
     zeta = jnp.asarray(vmodel.zeta, dtype=rdtype)
 
     h_np = [np.asarray(h, dtype=np.float64) for h in grid.h]
@@ -438,7 +460,7 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
         pweights = static[lvl][4]
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
-        ec = tuple(jnp.zeros(sh, dtype=e[0].dtype)
+        ec = tuple(cx.zeros(sh, like=e[0])
                    for sh in _edge_shapes(static[lvl + 1][0]))
 
         ec = _mg_rec(ec, rc, levels_arrays, static, lvl + 1,
@@ -508,8 +530,8 @@ def _weights_pytree(levels):
 
 @jax.jit
 def _norm(rx, ry, rz):
-    return jnp.sqrt(jnp.sum(jnp.abs(rx)**2) + jnp.sum(jnp.abs(ry)**2) +
-                    jnp.sum(jnp.abs(rz)**2))
+    return jnp.sqrt(jnp.sum(cx.abs2(rx)) + jnp.sum(cx.abs2(ry)) +
+                    jnp.sum(cx.abs2(rz)))
 
 
 def residual_norm(e, s, arrays):
@@ -535,18 +557,32 @@ class _SolveContext:
         self.var = var
         # jnp.asarray canonicalizes to 32-bit types when x64 is off
         # (the TPU fast path); use the canonical dtype downstream.
-        self.s = tuple(jnp.asarray(f) for f in
-                       (sfield.fx, sfield.fy, sfield.fz))
-        self.e = tuple(jnp.asarray(f, dtype=self.s[0].dtype) for f in
-                       (efield.fx, efield.fy, efield.fz))
-        self.dtype = self.s[0].dtype
+        # On backends without complex support (TPU), complex fields are
+        # stored as split re/im pairs (cx.C2).
+        is_cplx = np.iscomplexobj(np.asarray(sfield.fx))
+        self.split = use_split_complex() and is_cplx
+        if self.split:
+            rdt = jnp.zeros(0, dtype=np.asarray(sfield.fx).real.dtype
+                            ).dtype
+            self.s = tuple(cx.aspair(np.asarray(f), dtype=rdt) for f in
+                           (sfield.fx, sfield.fy, sfield.fz))
+            self.e = tuple(cx.aspair(np.asarray(f), dtype=rdt) for f in
+                           (efield.fx, efield.fy, efield.fz))
+            self.dtype = np.asarray(sfield.fx).dtype
+        else:
+            self.s = tuple(jnp.asarray(f) for f in
+                           (sfield.fx, sfield.fy, sfield.fz))
+            self.e = tuple(jnp.asarray(f, dtype=self.s[0].dtype) for f in
+                           (efield.fx, efield.fy, efield.fz))
+            self.dtype = self.s[0].dtype
         self._levels = {}
 
     def levels(self, sc_dir):
         if sc_dir not in self._levels:
             clevel = int(self.var.clevel[int(sc_dir)])
             self._levels[sc_dir] = build_levels(
-                self.grid, self.vmodel, int(sc_dir), clevel, self.dtype)
+                self.grid, self.vmodel, int(sc_dir), clevel, self.dtype,
+                split=self.split)
         return self._levels[sc_dir]
 
 
@@ -658,7 +694,15 @@ class _ConvergenceError(Exception):
 
 def _dot(a, b):
     """Standard complex inner product <a, b> = sum(conj(a)*b)."""
-    return sum(jnp.vdot(x, y) for x, y in zip(a, b))
+    tot = 0j
+    for x, y in zip(a, b):
+        if cx.is_c2(x):
+            re = jnp.sum(x.re * y.re + x.im * y.im)
+            im = jnp.sum(x.re * y.im - x.im * y.re)
+            tot = tot + complex(float(re), float(im))
+        else:
+            tot = tot + complex(jnp.vdot(x, y))
+    return tot
 
 
 def _axpy(alpha, x, y):
@@ -681,7 +725,7 @@ def krylov(ctx, var):
         return stencil.amat(*e, *arrays)
 
     def precond(r):
-        ez = tuple(jnp.zeros_like(c) for c in r)
+        ez = tuple(cx.zeros_like(c) for c in r)
         try:
             return multigrid(ctx, var, e=ez, s=r, track=False)
         except _ConvergenceError:
@@ -712,7 +756,7 @@ def krylov(ctx, var):
                            var.ssl_maxit, callback)
     except _ConvergenceError:
         info = -1
-        x = tuple(jnp.zeros_like(c) for c in s)
+        x = tuple(cx.zeros_like(c) for c in s)
         var.exit_message += " (returned field is zero)"
 
     pre = "\n   > "
@@ -918,8 +962,9 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
         var.cprint(f"\n:: emg3d_tpu END   :: {var.time.now} :: "
                    f"runtime = {var.time.runtime}\n", 2)
 
-    out = fields.Field(np.array(ctx.e[0]), np.array(ctx.e[1]),
-                       np.array(ctx.e[2]),
+    out = fields.Field(np.array(cx.tocomplex(ctx.e[0])),
+                       np.array(cx.tocomplex(ctx.e[1])),
+                       np.array(cx.tocomplex(ctx.e[2])),
                        frequency=sfield._frequency)
 
     if not do_return:
