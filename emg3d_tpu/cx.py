@@ -30,6 +30,11 @@ class C2:
 
     __slots__ = ('re', 'im')
 
+    # Make numpy defer to C2's reflected operators instead of building
+    # object arrays.
+    __array_ufunc__ = None
+    __array_priority__ = 1000
+
     def __init__(self, re, im):
         self.re = re
         self.im = im
