@@ -17,7 +17,10 @@ from .fields import (Field, SourceField, get_source_field, get_receiver,
                      get_receiver_response, get_h_field)
 from .maps import grid2grid, interp3d
 from .solver import solve
+from .surveys import Survey, Dipole, PointDipole
+from .simulations import Simulation, expand_grid_model
 from .utils import EMArray, Report
+from . import cx, io, optimize
 
 __all__ = [
     'TensorMesh', 'construct_mesh', 'good_mg_cell_nr', 'skin_depth',
@@ -25,5 +28,6 @@ __all__ = [
     'Field', 'SourceField', 'get_source_field', 'get_receiver',
     'get_receiver_response', 'get_h_field',
     'grid2grid', 'interp3d',
-    'solve', 'EMArray', 'Report',
+    'solve', 'Survey', 'Dipole', 'PointDipole', 'Simulation',
+    'expand_grid_model', 'EMArray', 'Report', 'cx', 'io', 'optimize',
 ]

@@ -182,10 +182,24 @@ def is_c2(a):
 
 
 def aspair(a, dtype=None):
-    """Convert a complex (or real) array to a C2 pair."""
+    """Convert a complex (or real) array to a C2 pair.
+
+    Host (numpy) inputs are split on the host — complex arrays must
+    never be uploaded to backends without complex support.
+    """
+    import numpy as np
     if isinstance(a, C2):
         return a
-    a = jnp.asarray(a)
+    if not isinstance(a, jax.Array):
+        a = np.asarray(a)
+        if np.iscomplexobj(a):
+            re = np.ascontiguousarray(a.real)
+            im = np.ascontiguousarray(a.imag)
+        else:
+            re, im = a, np.zeros_like(a)
+        if dtype is not None:
+            re, im = re.astype(dtype), im.astype(dtype)
+        return C2(jnp.asarray(re), jnp.asarray(im))
     if jnp.iscomplexobj(a):
         re, im = jnp.real(a), jnp.imag(a)
     else:
@@ -196,9 +210,11 @@ def aspair(a, dtype=None):
 
 
 def tocomplex(a):
-    """C2 -> numpy/jnp complex array (host/validation use)."""
+    """C2 -> numpy complex array (host-side; backends without complex
+    support cannot form complex arrays on device)."""
+    import numpy as np
     if isinstance(a, C2):
-        return a.re + 1j * a.im
+        return np.asarray(a.re) + 1j * np.asarray(a.im)
     return a
 
 

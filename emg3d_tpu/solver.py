@@ -333,7 +333,9 @@ def use_split_complex():
 
 def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
     """Build the full level hierarchy for one top-level sc_dir."""
-    rdtype = jnp.zeros(0, dtype=dtype).real.dtype
+    # Host-side dtype computation only — never instantiate complex
+    # device arrays (unsupported on TPU backends).
+    rdtype = jax.dtypes.canonicalize_dtype(np.zeros(0, dtype).real.dtype)
 
     if split:
         def as_eta(a):
@@ -428,11 +430,14 @@ def _residual_e(e, s, arrays):
     return stencil.residual_parts(*s, *e, *arrays)
 
 
-def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
+def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
+            is_top=False):
     """Recursive (trace-time unrolled) multigrid body.
 
     Mirrors the reference's recursion (solver.py:478-604) including the
-    `new_cycmax = cycmax - cyc` F-cycle construction.
+    `new_cycmax = cycmax - cyc` F-cycle construction.  ``is_top`` marks
+    the level at which the host loop iterates (one body execution per
+    call); for fused sub-trees it is False even at relative level 0.
     """
     (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
     arrays = levels_arrays[lvl]
@@ -443,7 +448,7 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
         # Coarsest grid: nu_coarse smoothing steps act as direct solve.
         return _smooth(e, s, arrays, nu_coarse, lr_dir, shape)
 
-    if lvl == 0:
+    if is_top:
         cycmax_here = cycmax
     elif new_cycmax == 0 or cycle != 'F':
         cycmax_here = cycmax
@@ -473,7 +478,7 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
         e = _smooth(e, s, arrays, nu_post, lr_dir, shape)
 
         it += 1
-        if lvl == 0:
+        if is_top:
             break
     return e
 
@@ -481,6 +486,140 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf):
 def _edge_shapes(shape):
     nx, ny, nz = shape
     return ((nx, ny+1, nz+1), (nx+1, ny, nz+1), (nx+1, ny+1, nz))
+
+
+# ----------------------------------------------------------------------
+# Piecewise-jitted building blocks + host-driven cycle (default path).
+#
+# One monolithic whole-cycle jit produces a huge graph whose compile
+# time is pathological on remote-compile TPU backends.  Instead the
+# cycle is driven from the host over small jitted pieces — each piece
+# is cached by shape and REUSED across levels, semicoarsening variants
+# and solves.  Dispatch overhead is a few host calls per level visit,
+# negligible against the device work.
+# ----------------------------------------------------------------------
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=('nu', 'lr_dir', 'shape'))
+def _smooth_jit(e, s, arrays, nu, lr_dir, shape):
+    return _smooth(e, s, arrays, nu, lr_dir, shape)
+
+
+@_partial(jax.jit,
+          static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape'))
+def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
+                       shape):
+    """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
+
+    Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
+    cycle body, solver.py:542-556).
+    """
+    e = _smooth(e, s, arrays, nu_pre, lr_dir, shape)
+    r = _residual_e(e, s, arrays)
+    rc = transfers.restrict(*r, rweights, coarsen)
+    rc = stencil.pec_mask_apply(*rc)
+    ec = tuple(cx.zeros_like(c) for c in rc)
+    return e, rc, ec
+
+
+@_partial(jax.jit,
+          static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape'))
+def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
+                        lr_dir, shape):
+    """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
+    e = transfers.prolongate(*e, *ec, pweights, coarsen)
+    e = stencil.pec_mask_apply(*e)
+    return _smooth(e, s, arrays, nu_post, lr_dir, shape)
+
+
+# Coarse sub-trees at or below this many cells are fused into a single
+# jitted graph (the tail of the recursion), trading a small one-time
+# compile for the elimination of most per-cycle dispatches — decisive
+# on backends with high dispatch latency.
+_FUSE_CELLS = int(os.environ.get('EMG3D_TPU_FUSE_CELLS', 40000))
+
+_TAIL_CACHE = {}
+
+
+def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf):
+    """Fused jit of the multigrid sub-tree from ``lvl`` downwards."""
+    sub = levels[lvl:]
+    static = tuple((lv.shape, lv.coarsen, None,
+                    _freeze(lv.rweights), _freeze(lv.pweights))
+                   for lv in sub)
+    key = (static, cycmax, new_cycmax, conf)
+    if key in _TAIL_CACHE:
+        return _TAIL_CACHE[key]
+
+    def tail_fn(e, s, arrays, weights):
+        st = tuple((sh, co, None, wr, wp)
+                   for (sh, co, _, _, _), (wr, wp)
+                   in zip(static, weights))
+        return _mg_rec(e, s, arrays, st, 0, cycmax, new_cycmax, conf,
+                       is_top=False)
+
+    fn = jax.jit(tail_fn)
+    _TAIL_CACHE[key] = fn
+    return fn
+
+
+def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf):
+    """Host-driven multigrid recursion over jitted pieces.
+
+    Identical control flow to the reference's recursion
+    (solver.py:478-604 incl. the F-cycle cycmax trick).  Levels at or
+    below _FUSE_CELLS cells run as one fused jitted sub-tree.
+    """
+    (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
+    lev = levels[lvl]
+    nlevels = len(levels)
+
+    if lvl == nlevels - 1:
+        return _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
+                           lev.shape)
+
+    if lvl > 0 and int(np.prod(lev.shape)) <= _FUSE_CELLS:
+        fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf)
+        arrays = tuple(lv.arrays for lv in levels[lvl:])
+        weights = tuple((lv.rweights, lv.pweights)
+                        for lv in levels[lvl:])
+        return fn(e, s, arrays, weights)
+
+    if lvl == 0:
+        cycmax_here = cycmax
+    elif new_cycmax == 0 or cycle != 'F':
+        cycmax_here = cycmax
+    else:
+        cycmax_here = new_cycmax
+
+    it = 0
+    while it < cycmax_here:
+        e, rc, ec = _smooth_coarse_jit(
+            e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
+            lr_dir, lev.shape)
+
+        ec = _mg_rec_host(ec, rc, levels, lvl + 1,
+                          2 if cycle in ['F', 'W'] else 1,
+                          cycmax_here - it, conf)
+
+        e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
+                                lev.arrays, nu_post, lr_dir, lev.shape)
+
+        it += 1
+        if lvl == 0:
+            break
+    return e
+
+
+def run_one_cycle(e, s, levels, conf, nu_init=0):
+    """One top-level MG cycle (host-driven, piecewise-jitted)."""
+    if nu_init > 0:
+        e = _smooth_jit(e, s, levels[0].arrays, nu_init, conf[4],
+                        levels[0].shape)
+    return _mg_rec_host(e, s, levels, 0,
+                        2 if conf[3] in ['F', 'W'] else 1, 0, conf)
 
 
 _CYCLE_CACHE = {}
@@ -508,7 +647,8 @@ def get_cycle_fn(levels, conf, nu_init=0):
             e = _smooth(e, s, levels_arrays[0], nu_init, conf[4],
                         static[0][0])
         return _mg_rec(e, s, levels_arrays, st, 0,
-                       2 if conf[3] in ['F', 'W'] else 1, 0, conf)
+                       2 if conf[3] in ['F', 'W'] else 1, 0, conf,
+                       is_top=True)
 
     fn = jax.jit(cycle_fn)
     _CYCLE_CACHE[key] = fn
@@ -607,12 +747,9 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                 int(var.lr_dir))
         levels = ctx.levels(int(var.sc_dir))
         nu_init = var.nu_init if (first and it == 0) else 0
-        fn = get_cycle_fn(levels, conf, nu_init=nu_init)
         first = False
 
-        arrays = tuple(lv.arrays for lv in levels)
-        weights = _weights_pytree(levels)
-        e = fn(e, s, arrays, weights)
+        e = run_one_cycle(e, s, levels, conf, nu_init=nu_init)
 
         it += 1
         var.it += 1
