@@ -251,7 +251,9 @@ class Model:
         from .meshes import TensorMesh
         try:
             grid_inp = inp.get('grid', None)
-            if grid_inp is not None:
+            if isinstance(grid_inp, TensorMesh):
+                grid = grid_inp
+            elif grid_inp is not None and not isinstance(grid_inp, str):
                 grid = TensorMesh.from_dict(grid_inp)
             else:
                 # Rebuild a unit-width placeholder mesh from vnC.

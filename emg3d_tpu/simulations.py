@@ -497,9 +497,15 @@ class Simulation:
         from .surveys import Survey
         inp = {k: v for k, v in inp.items() if k != '__class__'}
 
-        survey = Survey.from_dict(inp.pop('survey'))
-        grid = TensorMesh.from_dict(inp.pop('grid'))
-        model = models.Model.from_dict(inp.pop('model'))
+        survey = inp.pop('survey')
+        if not isinstance(survey, Survey):
+            survey = Survey.from_dict(survey)
+        grid = inp.pop('grid')
+        if not isinstance(grid, TensorMesh):
+            grid = TensorMesh.from_dict(grid)
+        model = inp.pop('model')
+        if not isinstance(model, models.Model):
+            model = models.Model.from_dict(model)
 
         gridding = str(inp.pop('gridding'))
         gridding_opts = inp.pop('gridding_opts', {})

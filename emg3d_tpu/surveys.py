@@ -401,13 +401,14 @@ class Survey:
                        for i in range(nd)}
 
         elif isinstance(inp, dict):  # De-serialized dipoles.
+            def _mk(v):
+                return v if isinstance(v, Dipole) else Dipole.from_dict(v)
             if self.fixed and name == 'receiver':
                 out = {}
                 for k, v in inp.items():
-                    out[k] = {k2: Dipole.from_dict(v2)
-                              for k2, v2 in v.items()}
+                    out[k] = {k2: _mk(v2) for k2, v2 in v.items()}
             else:
-                out = {k: Dipole.from_dict(v) for k, v in inp.items()}
+                out = {k: _mk(v) for k, v in inp.items()}
 
         else:
             raise TypeError(
