@@ -20,7 +20,7 @@ from .solver import solve
 from .surveys import Survey, Dipole, PointDipole
 from .simulations import Simulation, expand_grid_model
 from .utils import EMArray, Report
-from . import cx, io, optimize
+from . import cx, io, optimize, parallel
 
 __all__ = [
     'TensorMesh', 'construct_mesh', 'good_mg_cell_nr', 'skin_depth',

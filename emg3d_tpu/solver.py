@@ -502,20 +502,33 @@ def _edge_shapes(shape):
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=('nu', 'lr_dir', 'shape'))
-def _smooth_jit(e, s, arrays, nu, lr_dir, shape):
+def _constrain(x, mesh):
+    """Sharding annotation on 3-D leaves (no-op when mesh is None)."""
+    if mesh is None:
+        return x
+    from .parallel.sharding import constrain
+    return constrain(x, mesh)
+
+
+@_partial(jax.jit, static_argnames=('nu', 'lr_dir', 'shape', 'mesh'))
+def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None):
+    e = _constrain(e, mesh)
+    s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape)
 
 
 @_partial(jax.jit,
-          static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape'))
+          static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape',
+                           'mesh'))
 def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
-                       shape):
+                       shape, mesh=None):
     """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
 
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
     cycle body, solver.py:542-556).
     """
+    e = _constrain(e, mesh)
+    s = _constrain(s, mesh)
     e = _smooth(e, s, arrays, nu_pre, lr_dir, shape)
     r = _residual_e(e, s, arrays)
     rc = transfers.restrict(*r, rweights, coarsen)
@@ -525,10 +538,13 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
 
 
 @_partial(jax.jit,
-          static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape'))
+          static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape',
+                           'mesh'))
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
-                        lr_dir, shape):
+                        lr_dir, shape, mesh=None):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
+    e = _constrain(e, mesh)
+    s = _constrain(s, mesh)
     e = transfers.prolongate(*e, *ec, pweights, coarsen)
     e = stencil.pec_mask_apply(*e)
     return _smooth(e, s, arrays, nu_post, lr_dir, shape)
@@ -565,7 +581,27 @@ def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf):
     return fn
 
 
-def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf):
+def _level_mesh(lev, sharding):
+    """The device mesh to constrain this level to (None = replicate).
+
+    Agglomeration policy: a level is only distributed while every
+    device keeps at least ``min_local_planes`` cell-planes along each
+    sharded grid axis; below that the constraint is dropped and the
+    compiler gathers the (tiny) coarse problems.
+    """
+    if sharding is None:
+        return None
+    mesh = sharding['mesh']
+    minp = sharding.get('min_local_planes', 4)
+    axis_of = {'y': 1, 'z': 2}
+    for name, size in zip(mesh.axis_names, mesh.devices.shape):
+        if lev.shape[axis_of[name]] < minp * size:
+            return None
+    return mesh
+
+
+def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
+                 sharding=None):
     """Host-driven multigrid recursion over jitted pieces.
 
     Identical control flow to the reference's recursion
@@ -575,12 +611,14 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf):
     (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
     lev = levels[lvl]
     nlevels = len(levels)
+    mesh = _level_mesh(lev, sharding)
 
     if lvl == nlevels - 1:
         return _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
-                           lev.shape)
+                           lev.shape, mesh=mesh)
 
-    if lvl > 0 and int(np.prod(lev.shape)) <= _FUSE_CELLS:
+    if lvl > 0 and mesh is None and \
+            int(np.prod(lev.shape)) <= _FUSE_CELLS:
         fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf)
         arrays = tuple(lv.arrays for lv in levels[lvl:])
         weights = tuple((lv.rweights, lv.pweights)
@@ -598,14 +636,15 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf):
     while it < cycmax_here:
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
-            lr_dir, lev.shape)
+            lr_dir, lev.shape, mesh=mesh)
 
         ec = _mg_rec_host(ec, rc, levels, lvl + 1,
                           2 if cycle in ['F', 'W'] else 1,
-                          cycmax_here - it, conf)
+                          cycmax_here - it, conf, sharding=sharding)
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
-                                lev.arrays, nu_post, lr_dir, lev.shape)
+                                lev.arrays, nu_post, lr_dir, lev.shape,
+                                mesh=mesh)
 
         it += 1
         if lvl == 0:
@@ -613,13 +652,15 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf):
     return e
 
 
-def run_one_cycle(e, s, levels, conf, nu_init=0):
+def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None):
     """One top-level MG cycle (host-driven, piecewise-jitted)."""
     if nu_init > 0:
         e = _smooth_jit(e, s, levels[0].arrays, nu_init, conf[4],
-                        levels[0].shape)
+                        levels[0].shape,
+                        mesh=_level_mesh(levels[0], sharding))
     return _mg_rec_host(e, s, levels, 0,
-                        2 if conf[3] in ['F', 'W'] else 1, 0, conf)
+                        2 if conf[3] in ['F', 'W'] else 1, 0, conf,
+                        sharding=sharding)
 
 
 _CYCLE_CACHE = {}
@@ -691,7 +732,7 @@ def _jit_residual(e, s, arrays):
 class _SolveContext:
     """Per-solve state: device fields and level hierarchies per sc_dir."""
 
-    def __init__(self, grid, vmodel, sfield, efield, var):
+    def __init__(self, grid, vmodel, sfield, efield, var, sharding=None):
         self.grid = grid
         self.vmodel = vmodel
         self.var = var
@@ -715,6 +756,7 @@ class _SolveContext:
             self.e = tuple(jnp.asarray(f, dtype=self.s[0].dtype) for f in
                            (efield.fx, efield.fy, efield.fz))
             self.dtype = self.s[0].dtype
+        self.sharding = _normalize_sharding(sharding)
         self._levels = {}
 
     def levels(self, sc_dir):
@@ -724,6 +766,14 @@ class _SolveContext:
                 self.grid, self.vmodel, int(sc_dir), clevel, self.dtype,
                 split=self.split)
         return self._levels[sc_dir]
+
+
+def _normalize_sharding(sharding):
+    if sharding is None:
+        return None
+    if isinstance(sharding, dict):
+        return sharding
+    return {'mesh': sharding}
 
 
 def multigrid(ctx, var, e=None, s=None, track=True):
@@ -749,7 +799,8 @@ def multigrid(ctx, var, e=None, s=None, track=True):
         nu_init = var.nu_init if (first and it == 0) else 0
         first = False
 
-        e = run_one_cycle(e, s, levels, conf, nu_init=nu_init)
+        e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
+                          sharding=ctx.sharding)
 
         it += 1
         var.it += 1
@@ -1028,6 +1079,7 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
     efield : Field (if no initial efield was provided)
     info_dict : dict (if return_info=True)
     """
+    sharding = kwargs.pop('sharding', None)
     var = MGParameters(
         verb=verb, cycle=cycle, sslsolver=sslsolver,
         linerelaxation=linerelaxation, semicoarsening=semicoarsening,
@@ -1051,7 +1103,8 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
         do_return = False
         var.do_return = False
         # Warm start: if converged already, return immediately.
-        ctx0 = _SolveContext(grid, vmodel, sfield, efield, var)
+        ctx0 = _SolveContext(grid, vmodel, sfield, efield, var,
+                             sharding=sharding)
         fine = ctx0.levels(int(var.sc_dir))[0]
         l2 = residual_norm(ctx0.e, ctx0.s, fine.arrays)
         if l2 < var.tol * var.l2_refe and not var.sslsolver:
@@ -1080,7 +1133,8 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
             return z, _info_dict(var)
         return z
 
-    ctx = _SolveContext(grid, vmodel, sfield, efield, var)
+    ctx = _SolveContext(grid, vmodel, sfield, efield, var,
+                        sharding=sharding)
 
     try:
         if var.sslsolver:
