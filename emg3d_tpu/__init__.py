@@ -20,7 +20,8 @@ from .solver import solve
 from .surveys import Survey, Dipole, PointDipole
 from .simulations import Simulation, expand_grid_model
 from .utils import EMArray, Report
-from . import cx, io, optimize, parallel
+from .time import Fourier
+from . import cx, io, optimize, parallel, time
 
 __all__ = [
     'TensorMesh', 'construct_mesh', 'good_mg_cell_nr', 'skin_depth',

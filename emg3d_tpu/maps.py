@@ -224,6 +224,12 @@ def interp3d(points, values, new_points, method='cubic', fill_value=0.0,
     if log:
         values = np.log10(values)
 
+    # Normalize point layout: (..., 3) with at least one leading axis.
+    new_points = np.asarray(new_points, dtype=float)
+    single = new_points.ndim == 1
+    if single:
+        new_points = new_points[None, :]
+
     if np.iscomplexobj(values):
         re = interp3d(points, values.real, new_points, method, fill_value,
                       mode)
@@ -257,6 +263,8 @@ def interp3d(points, values, new_points, method='cubic', fill_value=0.0,
             values, coords, order=3, mode='nearest' if mode == 'nearest'
             else 'constant', cval=cval)
 
+    if single:
+        out = np.asarray(out).reshape(-1)[0] * np.ones(())
     if log:
         return 10**out
     return out

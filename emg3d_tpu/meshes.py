@@ -199,10 +199,10 @@ def good_mg_cell_nr(max_nr=1024, max_prime=5, min_div=3):
 
     Reference parity: emg3d/meshes.py:867-920.
     """
-    primes = np.array([p for p in [2, 3, 5, 7, 11, 13]if p <= max_prime])
-    if primes.size == 0:
+    if max_prime not in [2, 3, 5, 7, 11, 13]:
         raise ValueError(f"max_prime must be a prime <= 13; "
                          f"provided: {max_prime}.")
+    primes = np.array([p for p in [2, 3, 5, 7, 11, 13] if p <= max_prime])
     numbers = []
     for p in primes:
         n = min_div

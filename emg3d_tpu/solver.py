@@ -216,7 +216,7 @@ class MGParameters:
         self._raw_lr_cycle = lr_cycle
 
     def _solver_and_cycle(self):
-        solvers = ['bicgstab', 'cgs']
+        solvers = ['bicgstab', 'cgs', 'gcrotmk']
         if self.sslsolver is True:
             self.sslsolver = 'bicgstab'
         elif self.sslsolver is not False and self.sslsolver not in solvers:
@@ -939,9 +939,12 @@ def krylov(ctx, var):
         if var.sslsolver == 'bicgstab':
             x, info = _bicgstab(matvec, precond, s, x, atol,
                                 var.ssl_maxit, callback)
-        else:
+        elif var.sslsolver == 'cgs':
             x, info = _cgs(matvec, precond, s, x, atol,
                            var.ssl_maxit, callback)
+        else:
+            x, info = _scipy_gcrotmk(ctx, var, matvec, precond, s, x,
+                                     callback)
     except _ConvergenceError:
         info = -1
         x = tuple(cx.zeros_like(c) for c in s)
@@ -961,6 +964,55 @@ def krylov(ctx, var):
     ctx.e = x
     var.l2 = residual_norm(x, s, arrays)
     return x
+
+
+def _scipy_gcrotmk(ctx, var, matvec, precond, b, x, callback):
+    """GCROT(m,k) via scipy on host-flattened vectors.
+
+    scipy owns the Krylov recurrence; device work (matvec = stencil,
+    preconditioner = one MG cycle) round-trips through the host — the
+    same inversion of control as the reference (solver.py:610-734).
+    """
+    import scipy.sparse.linalg as ssl
+
+    shapes = [tuple(np.shape(cx.tocomplex(c))) for c in b]
+    sizes = [int(np.prod(sh)) for sh in shapes]
+    split = ctx.split
+
+    def to_flat(t):
+        return np.concatenate(
+            [np.asarray(cx.tocomplex(c)).ravel() for c in t])
+
+    def from_flat(v):
+        out = []
+        o = 0
+        for sh, n in zip(shapes, sizes):
+            a = v[o:o+n].reshape(sh)
+            o += n
+            if split:
+                out.append(cx.aspair(a, dtype=ctx.s[0].re.dtype))
+            else:
+                out.append(jnp.asarray(a))
+        return tuple(out)
+
+    nn = sum(sizes)
+
+    def mv(v):
+        return to_flat(matvec(from_flat(v)))
+
+    def pc(v):
+        return to_flat(precond(from_flat(v)))
+
+    A = ssl.LinearOperator((nn, nn), dtype=np.complex128, matvec=mv)
+    M = ssl.LinearOperator((nn, nn), dtype=np.complex128, matvec=pc)
+
+    def cb(xk):
+        callback(from_flat(xk))
+
+    xf, info = ssl.gcrotmk(A, to_flat(b), x0=to_flat(x),
+                           rtol=var.tol, atol=1e-30, M=M,
+                           maxiter=var.ssl_maxit, callback=cb)
+    return from_flat(xf), info
 
 
 def _bicgstab(matvec, precond, b, x, atol, maxiter, callback):

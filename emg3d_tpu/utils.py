@@ -99,3 +99,8 @@ class Report:
 
 def _process_warning(msg):
     warnings.warn(msg, UserWarning)
+
+
+# Reference-parity alias: the reference exposes the time-domain driver
+# as utils.Fourier (emg3d/utils.py:189); ours lives in emg3d_tpu.time.
+from .time import Fourier  # noqa: E402,F401
