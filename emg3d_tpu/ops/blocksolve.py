@@ -28,24 +28,15 @@ __all__ = ['ldl_solve_sparse', 'ldl_factor', 'ldl_apply', 'ldl_apply_mat',
            'block_tridiag_solve']
 
 
-def ldl_solve_sparse(n, entries, b):
-    """Solve A x = b for complex-symmetric A given as sparse lower entries.
+def ldl_factor_sparse(n, entries):
+    """Factorize complex-symmetric sparse-lower A = L D Lᵀ.
 
-    Parameters
-    ----------
-    n : int
-        System size (static).
-    entries : dict[(i, j)] -> array or None
-        Lower-triangle entries (i >= j), broadcast-compatible arrays;
-        missing/None entries are structurally zero.
-    b : list of n arrays
-        Right-hand side components.
+    The factorization depends only on the model coefficients (not on
+    the field), so callers hoist it out of the per-color sweep.
 
-    Returns
-    -------
-    list of n arrays — the solution components.
+    Returns (L, dinv): dict of strict-lower entries, list of inverse
+    diagonal entries.
     """
-    # Factorize: L (strict lower, unit diagonal), d (diagonal of D).
     L = {}
     dinv = [None] * n
     for j in range(n):
@@ -72,24 +63,46 @@ def ldl_solve_sparse(n, entries, b):
             if s is not None:
                 val = val - s
             L[(i, j)] = val * dinv[j]
+    return L, dinv
 
-    # Forward substitution L y = b.
+
+def ldl_solve_factored(n, L, dinv, b):
+    """Solve with a factorization from :func:`ldl_factor_sparse`."""
     y = list(b)
     for i in range(n):
         for k in range(i):
             Lik = L.get((i, k))
             if Lik is not None:
                 y[i] = y[i] - Lik * y[k]
-    # Diagonal D z = y.
     for i in range(n):
         y[i] = y[i] * dinv[i]
-    # Backward Lᵀ x = z.
     for i in range(n - 2, -1, -1):
         for k in range(i + 1, n):
             Lki = L.get((k, i))
             if Lki is not None:
                 y[i] = y[i] - Lki * y[k]
     return y
+
+
+def ldl_solve_sparse(n, entries, b):
+    """Solve A x = b for complex-symmetric A given as sparse lower entries.
+
+    Parameters
+    ----------
+    n : int
+        System size (static).
+    entries : dict[(i, j)] -> array or None
+        Lower-triangle entries (i >= j), broadcast-compatible arrays;
+        missing/None entries are structurally zero.
+    b : list of n arrays
+        Right-hand side components.
+
+    Returns
+    -------
+    list of n arrays — the solution components.
+    """
+    L, dinv = ldl_factor_sparse(n, entries)
+    return ldl_solve_factored(n, L, dinv, b)
 
 
 def _d(dinv, k):
@@ -152,35 +165,18 @@ def ldl_apply_mat(fact, M):
                     in_axes=-1, out_axes=-1)(M)
 
 
-def block_tridiag_solve(D, B, r):
-    """Solve a batched complex-symmetric block-tridiagonal system.
+def block_tridiag_factor(D, B):
+    """Forward block-Thomas elimination (field-independent part).
 
-    The system has S stations of k unknowns; sub-diagonal blocks B[i]
-    couple station i to station i-1 (B[0] is ignored), and by symmetry
-    the super-diagonal blocks are B[i]ᵀ.
-
-    Parameters
-    ----------
-    D : (S, ..., k, k)  diagonal blocks (complex symmetric)
-    B : (S, ..., k, k)  sub-diagonal blocks
-    r : (S, ..., k)     right-hand side
-
-    Returns
-    -------
-    x : (S, ..., k)
-
-    Implemented as a forward block-Thomas elimination (lax.scan over
-    stations, batched over lines) followed by a backward substitution
-    scan.  Each scan step is a handful of small batched matmuls.
+    Returns (factsL, factsd, Ws): stacked LDLᵀ factors of the
+    eliminated diagonal blocks C_i and the elimination multipliers
+    W_i = B_i C_{i-1}^{-1}.  These depend only on the model — callers
+    factor once per smoothing call and reuse across colors/sweeps.
     """
-    import jax
     from jax import lax
 
     def mm(a, b):
         return cx.matmul_nt(a, b)
-
-    def mv(a, b):
-        return cx.matvec(a, b)
 
     def t(a):
         return cx.swapaxes(a, -1, -2)
@@ -188,28 +184,44 @@ def block_tridiag_solve(D, B, r):
     fact0 = ldl_factor(D[0])
 
     def fwd(carry, inp):
-        factm, ym = carry
-        Di, Bi, ri = inp
+        factm = carry
+        Di, Bi = inp
         # W = B_i C_{i-1}^{-1}  (C symmetric -> W = (C^{-1} B_iᵀ)ᵀ).
         W = t(ldl_apply_mat(factm, t(Bi)))
         Ci = Di - mm(W, t(Bi))
-        yi = ri - mv(W, ym)
         facti = ldl_factor(Ci)
-        return (facti, yi), (facti, yi)
+        return facti, (facti, W)
 
-    y0 = r[0]
-    (_, _), (facts, ys) = lax.scan(
-        fwd, (fact0, y0), (D[1:], B[1:], r[1:]))
-    # Prepend station 0.
+    _, (facts, Ws) = lax.scan(fwd, fact0, (D[1:], B[1:]))
     factsL = cx.concatenate([fact0[0][None], facts[0]], axis=0)
     factsd = cx.concatenate([fact0[1][None], facts[1]], axis=0)
+    return factsL, factsd, Ws
+
+
+def block_tridiag_solve_factored(factsL, factsd, Ws, B, r):
+    """Solve with a factorization from :func:`block_tridiag_factor`."""
+    from jax import lax
+
+    def mv(a, b):
+        return cx.matvec(a, b)
+
+    def t(a):
+        return cx.swapaxes(a, -1, -2)
+
+    # Forward substitution: y_i = r_i − W_i y_{i-1}.
+    def fwd(ym, inp):
+        Wi, ri = inp
+        yi = ri - mv(Wi, ym)
+        return yi, yi
+
+    y0 = r[0]
+    _, ys = lax.scan(fwd, y0, (Ws, r[1:]))
     ys = cx.concatenate([y0[None], ys], axis=0)
 
-    # Backward: δ_S-1 = C^{-1} y;  δ_i = C_i^{-1} (y_i − B_{i+1}ᵀ δ_{i+1}).
+    # Backward: δ_S-1 = C^{-1} y;  δ_i = C_i^{-1}(y_i − B_{i+1}ᵀ δ_{i+1}).
     xS = ldl_apply((factsL[-1], factsd[-1]), ys[-1])
 
-    def bwd(carry, inp):
-        xnext = carry
+    def bwd(xnext, inp):
         Li, di, yi, Bnext = inp
         xi = ldl_apply((Li, di), yi - mv(t(Bnext), xnext))
         return xi, xi
@@ -219,3 +231,17 @@ def block_tridiag_solve(D, B, r):
         (factsL[:-1], factsd[:-1], ys[:-1], B[1:]),
         reverse=True)
     return cx.concatenate([xs, xS[None]], axis=0)
+
+
+def block_tridiag_solve(D, B, r):
+    """Solve a batched complex-symmetric block-tridiagonal system.
+
+    The system has S stations of k unknowns; sub-diagonal blocks B[i]
+    couple station i to station i-1 (B[0] is ignored), and by symmetry
+    the super-diagonal blocks are B[i]ᵀ.
+
+    D : (S, ..., k, k);  B : (S, ..., k, k);  r : (S, ..., k)
+    Returns x : (S, ..., k).
+    """
+    factsL, factsd, Ws = block_tridiag_factor(D, B)
+    return block_tridiag_solve_factored(factsL, factsd, Ws, B, r)

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 
 from .. import cx
 from . import stencil
-from .blocksolve import ldl_solve_sparse, block_tridiag_solve
+from .blocksolve import (ldl_factor_sparse, ldl_solve_factored,
+                         block_tridiag_factor,
+                         block_tridiag_solve_factored)
 from .coeffs import node_coefficients, node_block_entries
 
 __all__ = ['gauss_seidel_point', 'line_relaxation']
@@ -39,7 +41,7 @@ def _residual(e, s, par):
     return stencil.residual_parts(s[0], s[1], s[2], e[0], e[1], e[2], *par)
 
 
-def _point_color_update(e, s, par, entries, color):
+def _point_color_update(e, s, par, fact, color):
     """One color of the 8-color node-block update.
 
     ``color`` is a parity triple (cx, cy, cz): a node (ix, iy, iz) is
@@ -58,7 +60,7 @@ def _point_color_update(e, s, par, entries, color):
           ry[1:-1, :-1, 1:-1], ry[1:-1, 1:, 1:-1],
           rz[1:-1, 1:-1, :-1], rz[1:-1, 1:-1, 1:]]
 
-    delta = ldl_solve_sparse(6, entries, rb)
+    delta = ldl_solve_factored(6, fact[0], fact[1], rb)
 
     # Node color mask; zero-based node (i0,j0,k0) = (ix-1, iy-1, iz-1).
     # ``color`` is a (traced) scalar 0..7 encoding (cx, cy, cz) parity.
@@ -99,6 +101,10 @@ def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     entries = node_block_entries(c)
+    # The block factorization is field-independent: factor once here,
+    # outside the color sweep (it is hoisted out of the scan as a
+    # constant), instead of re-factorizing in all 8*nu color updates.
+    fact = ldl_factor_sparse(6, entries)
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
@@ -107,7 +113,7 @@ def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     def step(e, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 7 - cidx)
-        return _point_color_update(e, s, par, entries, color), None
+        return _point_color_update(e, s, par, fact, color), None
 
     its = jnp.repeat(jnp.arange(nu), 8)
     cols = jnp.tile(jnp.arange(8), nu)
@@ -180,7 +186,7 @@ def _line_blocks_x(c, proto, nx):
     return D, B
 
 
-def _line_color_update_x(e, s, par, D, B, color):
+def _line_color_update_x(e, s, par, fact, B, color):
     ex, ey, ez = e
     rx, ry, rz = _residual(e, s, par)
 
@@ -194,7 +200,7 @@ def _line_color_update_x(e, s, par, D, B, color):
     r4 = cx.pad(rz[1:-1, 1:-1, 1:], pad)
     r = cx.stack([r0, r1, r2, r3, r4], axis=-1)
 
-    delta = block_tridiag_solve(D, B, r)
+    delta = block_tridiag_solve_factored(*fact, B, r)
 
     # Line color mask over (ny-1, nz-1): lines need 4 colors (y/z
     # parity) — adjacent and diagonal lines are coupled through the
@@ -223,13 +229,16 @@ def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     D, B = _line_blocks_x(c, _proto(ex), ex.shape[0])
+    # Field-independent block-Thomas elimination: factor once per
+    # smoothing call, reuse across all 4*nu color updates.
+    fact = block_tridiag_factor(D, B)
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
     def step(e, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
-        return _line_color_update_x(e, s, par, D, B, color), None
+        return _line_color_update_x(e, s, par, fact, B, color), None
 
     its = jnp.repeat(jnp.arange(nu), 4)
     cols = jnp.tile(jnp.arange(4), nu)

@@ -776,12 +776,29 @@ def _normalize_sharding(sharding):
     return {'mesh': sharding}
 
 
+def _pipelined_checks():
+    """Overlap convergence-check fetches with the next cycle's compute.
+
+    On accelerator backends a device->host scalar fetch costs a full
+    round trip; dispatching cycle i+1 before fetching cycle i's norm
+    hides that latency.  One cycle of work may be computed beyond the
+    converged one (it is discarded) — results and iteration counts are
+    unchanged.  Off on CPU (fetches are free, keeps tests simple).
+    """
+    env = os.environ.get('EMG3D_TPU_PIPELINE')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() != 'cpu'
+
+
 def multigrid(ctx, var, e=None, s=None, track=True):
     """Run MG cycles with the reference's termination logic.
 
     If ``e``/``s`` are given, runs on those fields (used as Krylov
     preconditioner); else on ctx.e/ctx.s (stand-alone, stores back).
     """
+    from collections import deque
+
     standalone = e is None
     if standalone:
         e, s = ctx.e, ctx.s
@@ -790,23 +807,49 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     l2_last = residual_norm(e, s, fine.arrays)
     l2_stag = np.ones(var._maxcycle) * l2_last
 
-    it = 0
+    lookahead = 2 if _pipelined_checks() else 1
+    pending = deque()
+    it_disp = 0   # dispatched cycles
+    it = 0        # checked cycles
     first = True
+    result = e
+
     while True:
-        conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
-                int(var.lr_dir))
-        levels = ctx.levels(int(var.sc_dir))
-        nu_init = var.nu_init if (first and it == 0) else 0
-        first = False
+        # Dispatch cycles (up to `lookahead` in flight, up to maxit).
+        while it_disp < var.maxit and len(pending) < lookahead:
+            conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
+                    int(var.lr_dir))
+            levels = ctx.levels(int(var.sc_dir))
+            nu_init = var.nu_init if first else 0
+            first = False
 
-        e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
-                          sharding=ctx.sharding)
+            e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
+                              sharding=ctx.sharding)
+            r = _jit_residual(e, s, levels[0].arrays)
+            pending.append((e, _norm(*r)))
+            it_disp += 1
 
+            # Advance sc/lr schedules (per top-level cycle).
+            if var.sc_cycle:
+                var.sc_dir = next(var.sc_cycle)
+            if var.lr_cycle:
+                var.lr_dir = next(var.lr_cycle)
+
+            # With lookahead, delay the first check until a second
+            # cycle is in flight.
+            if len(pending) < lookahead and it_disp < var.maxit:
+                continue
+
+        # Check the oldest in-flight cycle (reference bookkeeping:
+        # store the previous error at slot (it-1) BEFORE incrementing,
+        # compare the new error against the value of the same cycle
+        # type, maxcycle checks ago; solver.py:519-521, 588-604).
+        e_i, nrm_i = pending.popleft()
+        l2_stag[(it - 1) % var._maxcycle] = l2_last
         it += 1
         var.it += 1
         l2_prev = l2_last
-        l2_stag[(it - 1) % var._maxcycle] = l2_last
-        l2_last = residual_norm(e, s, levels[0].arrays)
+        l2_last = float(nrm_i)
 
         if track:
             var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
@@ -814,19 +857,18 @@ def multigrid(ctx, var, e=None, s=None, track=True):
             var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
             _print_cycle_info(var, l2_last, l2_prev)
 
-        # Advance sc/lr schedules (per top-level cycle).
-        if var.sc_cycle:
-            var.sc_dir = next(var.sc_cycle)
-        if var.lr_cycle:
-            var.lr_dir = next(var.lr_cycle)
-
-        if _terminate(var, l2_last, l2_stag[(it - 1) % var._maxcycle], it):
+        if _terminate(var, l2_last, l2_stag[(it - 1) % var._maxcycle],
+                      it):
+            # Any further in-flight cycle is simply discarded; var.it
+            # only ever counted checked cycles.
+            result = e_i
             break
+        result = e_i
 
     var.l2 = l2_last
     if standalone:
-        ctx.e = e
-    return e
+        ctx.e = result
+    return result
 
 
 def _print_cycle_info(var, l2_last, l2_prev):
