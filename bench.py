@@ -65,7 +65,7 @@ def main():
 
     def fetch_scalar(x):
         leaf = jax.tree_util.tree_leaves(x)[0]
-        return float(leaf.ravel()[0])
+        return float(abs(leaf.ravel()[0]))
 
     # Warm.
     ee = S.run_one_cycle(ctx.e, ctx.s, levels, conf)
