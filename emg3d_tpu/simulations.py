@@ -303,7 +303,13 @@ class Simulation:
         deviation (if set), NaN-ing data below the noise floor and
         below ``min_offset``.
         Reference parity: emg3d/simulations.py:821-913.
+
+        When several sources share grid and frequency and plain
+        multigrid is used (``sslsolver=False``), the solves run
+        device-batched (one compiled program advances all sources) —
+        the on-device replacement of the reference's process pool.
         """
+        self._compute_batched()
         for src, freq in self._srcfreq:
             self.get_efield(src, freq)
 
@@ -331,6 +337,44 @@ class Simulation:
                 axis=0)
             min_off = offsets < kwargs.get('min_offset', 0.0)
             self.data['observed'][min_off] = np.nan + 1j * np.nan
+
+    def _compute_batched(self):
+        """Batched multi-source solves where grids+frequency coincide.
+
+        Fills ``_dict_efield`` for groups of >=2 uncomputed sources
+        sharing (grid, frequency) when the solver is plain multigrid;
+        remaining pairs fall through to per-pair ``get_efield``.
+        """
+        if self.solver_opts.get('sslsolver', True):
+            return
+
+        from .solver import solve_batched
+
+        groups = {}
+        for src, freq in self._srcfreq:
+            if self._dict_efield[src][freq] is not None:
+                continue
+            grid = self.get_grid(src, freq)
+            groups.setdefault((id(grid), freq), []).append(src)
+
+        for (gid, freq), srcs in groups.items():
+            if len(srcs) < 2:
+                continue
+            grid = self.get_grid(srcs[0], freq)
+            model = self.get_model(srcs[0], freq)
+            sfields = [self.get_sfield(src, freq) for src in srcs]
+            opts = {k: v for k, v in self.solver_opts.items()
+                    if k not in ['sslsolver', 'return_info', 'log']}
+            efields, info = solve_batched(grid, model, sfields, **opts)
+            for i, src in enumerate(srcs):
+                self._dict_efield[src][freq] = efields[i]
+                sinfo = dict(info)
+                sinfo['abs_error'] = float(info['abs_error'][i])
+                sinfo['rel_error'] = float(info['rel_error'][i])
+                sinfo['ref_error'] = float(info['ref_error'][i])
+                self._dict_efield_info[src][freq] = sinfo
+                self._dict_hfield[src][freq] = None
+                self._store_responses(src, freq)
 
     @property
     def data(self):

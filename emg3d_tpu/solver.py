@@ -510,8 +510,13 @@ def _constrain(x, mesh):
     return constrain(x, mesh)
 
 
-@_partial(jax.jit, static_argnames=('nu', 'lr_dir', 'shape', 'mesh'))
-def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None):
+@_partial(jax.jit,
+          static_argnames=('nu', 'lr_dir', 'shape', 'mesh', 'batch'))
+def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
+                batch=False):
+    if batch:
+        return jax.vmap(lambda e_, s_: _smooth(
+            e_, s_, arrays, nu, lr_dir, shape))(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape)
@@ -519,35 +524,45 @@ def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None):
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape',
-                           'mesh'))
+                           'mesh', 'batch'))
 def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
-                       shape, mesh=None):
+                       shape, mesh=None, batch=False):
     """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
 
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
     cycle body, solver.py:542-556).
     """
+    def body(e_, s_):
+        e_ = _smooth(e_, s_, arrays, nu_pre, lr_dir, shape)
+        r = _residual_e(e_, s_, arrays)
+        rc = transfers.restrict(*r, rweights, coarsen)
+        rc = stencil.pec_mask_apply(*rc)
+        ec = tuple(cx.zeros_like(c) for c in rc)
+        return e_, rc, ec
+
+    if batch:
+        return jax.vmap(body)(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    e = _smooth(e, s, arrays, nu_pre, lr_dir, shape)
-    r = _residual_e(e, s, arrays)
-    rc = transfers.restrict(*r, rweights, coarsen)
-    rc = stencil.pec_mask_apply(*rc)
-    ec = tuple(cx.zeros_like(c) for c in rc)
-    return e, rc, ec
+    return body(e, s)
 
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape',
-                           'mesh'))
+                           'mesh', 'batch'))
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
-                        lr_dir, shape, mesh=None):
+                        lr_dir, shape, mesh=None, batch=False):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
+    def body(e_, ec_, s_):
+        e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
+        e_ = stencil.pec_mask_apply(*e_)
+        return _smooth(e_, s_, arrays, nu_post, lr_dir, shape)
+
+    if batch:
+        return jax.vmap(body)(e, ec, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    e = transfers.prolongate(*e, *ec, pweights, coarsen)
-    e = stencil.pec_mask_apply(*e)
-    return _smooth(e, s, arrays, nu_post, lr_dir, shape)
+    return body(e, ec, s)
 
 
 # Coarse sub-trees at or below this many cells are fused into a single
@@ -559,13 +574,13 @@ _FUSE_CELLS = int(os.environ.get('EMG3D_TPU_FUSE_CELLS', 40000))
 _TAIL_CACHE = {}
 
 
-def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf):
+def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False):
     """Fused jit of the multigrid sub-tree from ``lvl`` downwards."""
     sub = levels[lvl:]
     static = tuple((lv.shape, lv.coarsen, None,
                     _freeze(lv.rweights), _freeze(lv.pweights))
                    for lv in sub)
-    key = (static, cycmax, new_cycmax, conf)
+    key = (static, cycmax, new_cycmax, conf, batch)
     if key in _TAIL_CACHE:
         return _TAIL_CACHE[key]
 
@@ -573,8 +588,14 @@ def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf):
         st = tuple((sh, co, None, wr, wp)
                    for (sh, co, _, _, _), (wr, wp)
                    in zip(static, weights))
-        return _mg_rec(e, s, arrays, st, 0, cycmax, new_cycmax, conf,
-                       is_top=False)
+
+        def body(e_, s_):
+            return _mg_rec(e_, s_, arrays, st, 0, cycmax, new_cycmax,
+                           conf, is_top=False)
+
+        if batch:
+            return jax.vmap(body)(e, s)
+        return body(e, s)
 
     fn = jax.jit(tail_fn)
     _TAIL_CACHE[key] = fn
@@ -601,7 +622,7 @@ def _level_mesh(lev, sharding):
 
 
 def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
-                 sharding=None):
+                 sharding=None, batch=False):
     """Host-driven multigrid recursion over jitted pieces.
 
     Identical control flow to the reference's recursion
@@ -615,11 +636,12 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
     if lvl == nlevels - 1:
         return _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
-                           lev.shape, mesh=mesh)
+                           lev.shape, mesh=mesh, batch=batch)
 
     if lvl > 0 and mesh is None and \
             int(np.prod(lev.shape)) <= _FUSE_CELLS:
-        fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf)
+        fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf,
+                          batch=batch)
         arrays = tuple(lv.arrays for lv in levels[lvl:])
         weights = tuple((lv.rweights, lv.pweights)
                         for lv in levels[lvl:])
@@ -636,15 +658,16 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
     while it < cycmax_here:
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
-            lr_dir, lev.shape, mesh=mesh)
+            lr_dir, lev.shape, mesh=mesh, batch=batch)
 
         ec = _mg_rec_host(ec, rc, levels, lvl + 1,
                           2 if cycle in ['F', 'W'] else 1,
-                          cycmax_here - it, conf, sharding=sharding)
+                          cycmax_here - it, conf, sharding=sharding,
+                          batch=batch)
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
                                 lev.arrays, nu_post, lr_dir, lev.shape,
-                                mesh=mesh)
+                                mesh=mesh, batch=batch)
 
         it += 1
         if lvl == 0:
@@ -652,15 +675,23 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
     return e
 
 
-def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None):
-    """One top-level MG cycle (host-driven, piecewise-jitted)."""
+def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
+                  batch=False):
+    """One top-level MG cycle (host-driven, piecewise-jitted).
+
+    With ``batch=True`` the field pytrees carry a leading source-batch
+    axis and every piece runs vmapped — one compiled program advances
+    all sources at once (the on-device replacement of the reference's
+    process-pool fan-out, simulations.py:862-867).
+    """
     if nu_init > 0:
         e = _smooth_jit(e, s, levels[0].arrays, nu_init, conf[4],
                         levels[0].shape,
-                        mesh=_level_mesh(levels[0], sharding))
+                        mesh=_level_mesh(levels[0], sharding),
+                        batch=batch)
     return _mg_rec_host(e, s, levels, 0,
                         2 if conf[3] in ['F', 'W'] else 1, 0, conf,
-                        sharding=sharding)
+                        sharding=sharding, batch=batch)
 
 
 _CYCLE_CACHE = {}
@@ -1286,3 +1317,195 @@ def _info_dict(var):
         'error_at_cycle': var.error_at_cycle,
         'log': var.log_message,
     }
+
+
+# ======================================================================
+# Batched multi-source solve
+# ======================================================================
+
+@jax.jit
+def _jit_residual_b(e, s, arrays):
+    """Residual for batched fields (leading source axis)."""
+    return jax.vmap(lambda e_, s_: _residual_e(e_, s_, arrays))(e, s)
+
+
+@jax.jit
+def _norm_b(rx, ry, rz):
+    """Per-source residual norms for batched fields: (B,)."""
+    def one(a):
+        return jnp.sum(cx.abs2(a).reshape(a.shape[0], -1), axis=1)
+    return jnp.sqrt(one(rx) + one(ry) + one(rz))
+
+
+def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
+                  linerelaxation=False, verb=2, **kwargs):
+    """Solve for MANY sources at once on one grid (device-batched).
+
+    The TPU-native replacement of the reference's process-pool fan-out
+    over sources (simulations.py:821-913): all source fields are
+    stacked along a leading batch axis and every multigrid cycle
+    advances the whole batch in one compiled program — the device's
+    parallelism does the work of the worker pool, with far better
+    utilization for small/medium grids.
+
+    All sources must share the frequency (the η parameters are
+    frequency-dependent).  Only stand-alone multigrid is supported
+    (``sslsolver`` is not); semicoarsening and line relaxation are.
+
+    Termination: CONVERGED when every source's residual is below tol;
+    DIVERGED if any diverges; otherwise the usual criteria on the
+    worst-converged source.
+
+    Returns
+    -------
+    efields : list of Field
+    info : dict — per-source 'rel_error' array, shared 'it_mg', etc.
+    """
+    if not sfields:
+        raise ValueError("Provide at least one source field.")
+    freqs = {float(sf._frequency) for sf in sfields}
+    if len(freqs) != 1:
+        raise ValueError(
+            "All sources of a batched solve must share the frequency; "
+            f"got {sorted(freqs)}.")
+    if kwargs.get('sslsolver'):
+        raise NotImplementedError(
+            "sslsolver is not supported in batched solves; "
+            "use plain multigrid cycles (they are the preconditioner "
+            "anyway) or per-source solve().")
+    kwargs.pop('sslsolver', None)
+
+    var = MGParameters(
+        verb=verb, cycle=cycle, sslsolver=False,
+        linerelaxation=linerelaxation, semicoarsening=semicoarsening,
+        shape_cells=tuple(grid.shape_cells), **kwargs)
+
+    vmodel = models.VolumeModel(grid, model, sfields[0])
+
+    # Stack sources along a leading batch axis.
+    split = use_split_complex() and np.iscomplexobj(
+        np.asarray(sfields[0].fx))
+    if split:
+        rdt = jnp.zeros(0, dtype=np.asarray(
+            sfields[0].fx).real.dtype).dtype
+
+        def stack(name):
+            re = np.stack([np.asarray(getattr(sf, name)).real
+                           for sf in sfields])
+            im = np.stack([np.asarray(getattr(sf, name)).imag
+                           for sf in sfields])
+            return cx.C2(jnp.asarray(re, dtype=rdt),
+                         jnp.asarray(im, dtype=rdt))
+    else:
+        def stack(name):
+            return jnp.asarray(np.stack(
+                [np.asarray(getattr(sf, name)) for sf in sfields]))
+
+    s = (stack('fx'), stack('fy'), stack('fz'))
+    e = tuple(cx.zeros_like(c) for c in s)
+
+    ctx = _SolveContext.__new__(_SolveContext)
+    ctx.grid = grid
+    ctx.vmodel = vmodel
+    ctx.var = var
+    ctx.split = split
+    ctx.s = s
+    ctx.e = e
+    ctx.dtype = np.asarray(sfields[0].fx).dtype
+    ctx.sharding = None
+    ctx._levels = {}
+
+    refe = np.array([float(sf.norm()) for sf in sfields])
+    var.l2_refe = float(refe.max())
+    refe = np.where(refe == 0, 1.0, refe)
+
+    from collections import deque
+    pending = deque()
+    lookahead = 2 if _pipelined_checks() else 1
+    l2_last = None
+    it_disp = 0
+    it = 0
+    first = True
+    result = e
+
+    fine0 = ctx.levels(int(var.sc_dir))[0]
+    l2_last = np.asarray(_norm_b(*_jit_residual_b(e, s, fine0.arrays)))
+    l2_stag = np.tile(l2_last, (var._maxcycle, 1))
+
+    while True:
+        while it_disp < var.maxit and len(pending) < lookahead:
+            conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
+                    int(var.lr_dir))
+            levels = ctx.levels(int(var.sc_dir))
+            nu_init = var.nu_init if first else 0
+            first = False
+            e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
+                              batch=True)
+            r = _jit_residual_b(e, s, levels[0].arrays)
+            pending.append((e, _norm_b(*r)))
+            it_disp += 1
+            if var.sc_cycle:
+                var.sc_dir = next(var.sc_cycle)
+            if var.lr_cycle:
+                var.lr_dir = next(var.lr_cycle)
+            if len(pending) < lookahead and it_disp < var.maxit:
+                continue
+
+        e_i, nrm_i = pending.popleft()
+        l2_stag[(it - 1) % var._maxcycle] = l2_last
+        it += 1
+        var.it += 1
+        l2_last = np.asarray(nrm_i)
+        rel = l2_last / refe
+
+        if var.verb > 2:
+            var.cprint(
+                f"   [{var.time.now}]   max {rel.max():.3e} after "
+                f"{it:3} {var.cycle}-cycles "
+                f"({np.sum(rel < var.tol)}/{rel.size} converged)", 2)
+
+        finished = False
+        if np.all(rel < var.tol):
+            var.exit_message = "CONVERGED"
+            finished = True
+        elif np.any(l2_last > 10 * refe) or not np.all(
+                np.isfinite(l2_last)):
+            var.exit_message = "DIVERGED"
+            finished = True
+        elif it > 2 and np.all(
+                l2_last >= l2_stag[(it - 1) % var._maxcycle]):
+            var.exit_message = "STAGNATED"
+            finished = True
+        elif it == var.maxit:
+            var.exit_message = "MAX. ITERATION REACHED, NOT CONVERGED"
+            finished = True
+
+        result = e_i
+        if finished:
+            add = "\n" if var.verb < 5 else ""
+            var.cprint(add + "   > " + var.exit_message, 2)
+            break
+
+    # Unstack into host Fields.
+    out = []
+    freq = sfields[0]._frequency
+    comps = [np.array(cx.tocomplex(c)) for c in result]
+    for b in range(len(sfields)):
+        out.append(fields.Field(comps[0][b], comps[1][b], comps[2][b],
+                                frequency=freq))
+
+    info = {
+        'exit': 0 if var.exit_message == 'CONVERGED' else 1,
+        'exit_message': var.exit_message,
+        'abs_error': l2_last,
+        'rel_error': l2_last / refe,
+        'ref_error': refe,
+        'tol': var.tol,
+        'it_mg': it,
+        'it_ssl': 0,
+        'time': var.time.elapsed,
+        'runtime_at_cycle': var.runtime_at_cycle,
+        'error_at_cycle': var.error_at_cycle,
+        'log': var.log_message,
+    }
+    return out, info

@@ -1,0 +1,71 @@
+"""Batched multi-source solve: parity with per-source solves."""
+import numpy as np
+import pytest
+
+from emg3d_tpu import (TensorMesh, Model, Survey, Simulation, solve,
+                       get_source_field)
+from emg3d_tpu.solver import solve_batched
+
+
+@pytest.fixture(scope='module')
+def problem():
+    n = 16
+    grid = TensorMesh([np.full(n, 100.)] * 3)
+    rng = np.random.default_rng(2)
+    model = Model(grid, property_x=rng.uniform(0.5, 5,
+                                               grid.shape_cells))
+    return grid, model
+
+
+def test_batched_matches_single(problem):
+    grid, model = problem
+    sfields = [get_source_field(grid, [200 + 300*i, 800, 800, 0, 0],
+                                1.0) for i in range(3)]
+    es, info = solve_batched(grid, model, sfields, cycle='F', verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert info['rel_error'].shape == (3,)
+    assert np.all(info['rel_error'] < 1e-6)
+    for i, sf in enumerate(sfields):
+        ei = solve(grid, model, sf, cycle='F', verb=1)
+        rel = (np.linalg.norm(es[i].field - ei.field) /
+               np.linalg.norm(ei.field))
+        assert rel < 1e-5
+
+
+def test_batched_with_sc_lr(problem):
+    grid, model = problem
+    sfields = [get_source_field(grid, [300 + 200*i, 900, 700, 20, 5],
+                                0.7) for i in range(2)]
+    es, info = solve_batched(grid, model, sfields, cycle='V',
+                             semicoarsening=True, linerelaxation=True,
+                             verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+
+
+def test_batched_validation(problem):
+    grid, model = problem
+    s1 = get_source_field(grid, [300, 900, 700, 0, 0], 1.0)
+    s2 = get_source_field(grid, [300, 900, 700, 0, 0], 2.0)
+    with pytest.raises(ValueError, match='share the frequency'):
+        solve_batched(grid, model, [s1, s2])
+    with pytest.raises(NotImplementedError, match='sslsolver'):
+        solve_batched(grid, model, [s1], sslsolver='bicgstab')
+    with pytest.raises(ValueError, match='at least one'):
+        solve_batched(grid, model, [])
+
+
+def test_simulation_uses_batched(problem):
+    grid, model = problem
+    survey = Survey('Batch', ([300, 600, 900], 800, 800, 0, 0),
+                    (1200, 800, 800, 0, 0), 1.0,
+                    noise_floor=1e-15, relative_error=0.05)
+    sim = Simulation(
+        'b', survey, grid, model, gridding='same',
+        solver_opts={'sslsolver': False, 'semicoarsening': False,
+                     'linerelaxation': False, 'tol': 1e-5}, verb=-1)
+    sim.compute()
+    for src in survey.sources:
+        info = sim.get_efield_info(src, 1.0)
+        assert info['exit_message'] == 'CONVERGED'
+        assert isinstance(info['rel_error'], float)
+    assert np.all(np.isfinite(sim.data.synthetic))
