@@ -40,10 +40,14 @@ def _edgepad_pair(a, axis):
 
     Result has length n+1 along ``axis``: entry i = a[clip(i-1)] +
     a[clip(i)], matching the reference's clamped ixm/iym/izm indexing.
+    (Concatenation instead of mode='edge' pad: Mosaic-lowerable.)
     """
-    pads = [(0, 0)] * a.ndim
-    pads[axis] = (1, 1)
-    return _adjpair(jnp.pad(a, pads, mode='edge'), axis)
+    lo = [slice(None)] * a.ndim
+    hi = [slice(None)] * a.ndim
+    lo[axis] = slice(0, 1)
+    hi[axis] = slice(-1, None)
+    p = jnp.concatenate([a[tuple(lo)], a, a[tuple(hi)]], axis=axis)
+    return _adjpair(p, axis)
 
 
 def zeta_face_weights(zeta):
@@ -98,13 +102,11 @@ def _zero_pad_interior(a, pads):
     return cx.pad(a, pads)
 
 
-@partial(jax.jit, donate_argnums=())
-def amat(ex, ey, ez, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
-    """Apply the operator: returns (A e)_x, (A e)_y, (A e)_z.
+def amat_interior(ex, ey, ez, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
+    """Interior (non-PEC) rows of A e, unpadded.
 
-    PEC rows (tangential boundary edges) are zero.  Matches the
-    reference's ``core.amat_x`` with r=0 input up to sign:
-    amat_x computes r -= A e, this returns A e.
+    Shapes: ax (nx, ny-1, nz-1), ay (nx-1, ny, nz-1),
+    az (nx-1, ny-1, nz).
     """
     ihx = (1.0 / hx)[:, None, None]
     ihy = (1.0 / hy)[None, :, None]
@@ -129,7 +131,28 @@ def amat(ex, ey, ez, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
     ax = 0.5 * rrx - 0.25 * stx * ex[:, 1:-1, 1:-1]
     ay = 0.5 * rry - 0.25 * sty * ey[1:-1, :, 1:-1]
     az = 0.5 * rrz - 0.25 * stz * ez[1:-1, 1:-1, :]
+    return ax, ay, az
 
+
+def residual_interior(sx, sy, sz, ex, ey, ez, eta_x, eta_y, eta_z,
+                      zeta, hx, hy, hz):
+    """Interior rows of the residual r = s − A e, unpadded."""
+    ax, ay, az = amat_interior(ex, ey, ez, eta_x, eta_y, eta_z, zeta,
+                               hx, hy, hz)
+    return (sx[:, 1:-1, 1:-1] - ax, sy[1:-1, :, 1:-1] - ay,
+            sz[1:-1, 1:-1, :] - az)
+
+
+@partial(jax.jit, donate_argnums=())
+def amat(ex, ey, ez, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
+    """Apply the operator: returns (A e)_x, (A e)_y, (A e)_z.
+
+    PEC rows (tangential boundary edges) are zero.  Matches the
+    reference's ``core.amat_x`` with r=0 input up to sign:
+    amat_x computes r -= A e, this returns A e.
+    """
+    ax, ay, az = amat_interior(ex, ey, ez, eta_x, eta_y, eta_z, zeta,
+                               hx, hy, hz)
     # Re-pad PEC boundary rows with zeros.
     ax = _zero_pad_interior(ax, ((0, 0), (1, 1), (1, 1)))
     ay = _zero_pad_interior(ay, ((1, 1), (0, 0), (1, 1)))

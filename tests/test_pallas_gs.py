@@ -1,0 +1,67 @@
+"""Fused Pallas smoother: parity with the XLA path (interpreter).
+
+The kernel itself is exercised in Pallas interpreter mode here (CPU
+suite); on TPU hardware it currently requires lane-aligned grid
+extents (Mosaic restriction on unaligned vector slices) — tracked as
+the next optimization step; the XLA path remains the default.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from emg3d_tpu import TensorMesh, Model, SourceField, VolumeModel, cx
+from emg3d_tpu.ops import smoothers
+from emg3d_tpu.ops.pallas_gs import gauss_seidel_point_pallas, supported
+
+
+def _setup(shape, seed=3):
+    rng = np.random.default_rng(seed)
+    grid = TensorMesh([rng.uniform(50, 150, n) for n in shape])
+    model = Model(grid, property_x=rng.uniform(.1, 10,
+                                               grid.shape_cells))
+    sfield = SourceField.zeros(grid, frequency=0.9)
+    sfield.fx[shape[0]//2, shape[1]//2, shape[2]//2] = 1 + 0.5j
+    vm = VolumeModel(grid, model, sfield)
+    par = tuple(
+        cx.aspair(np.asarray(a), dtype=jnp.float32)
+        if np.iscomplexobj(np.asarray(a))
+        else jnp.asarray(np.asarray(a), dtype=jnp.float32)
+        for a in (vm.eta_x, vm.eta_y, vm.eta_z, vm.zeta,
+                  grid.h[0], grid.h[1], grid.h[2]))
+    s = tuple(cx.aspair(np.asarray(f), dtype=jnp.float32)
+              for f in (sfield.fx, sfield.fy, sfield.fz))
+    e = tuple(cx.zeros_like(x) for x in s)
+    return e, s, par
+
+
+@pytest.mark.parametrize('shape,tx', [((12, 8, 8), None),
+                                      ((21, 8, 8), 5),
+                                      ((16, 10, 6), 4)])
+def test_pallas_matches_xla(shape, tx):
+    e, s, par = _setup(shape)
+    assert supported(e)
+    ref = smoothers.gauss_seidel_point(*e, *s, *par, nu=2)
+    out = gauss_seidel_point_pallas(e, s, par, nu=2, shape=shape,
+                                    interpret=True, _tx=tx)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=2e-6)
+
+
+def test_pallas_single_color_exact():
+    shape = (12, 8, 8)
+    e, s, par = _setup(shape, seed=7)
+    from emg3d_tpu.ops.blocksolve import ldl_factor_sparse
+    from emg3d_tpu.ops.coeffs import (node_block_entries,
+                                      node_coefficients)
+    fact = ldl_factor_sparse(6, node_block_entries(
+        node_coefficients(*par)))
+    for color in (0, 3, 7):
+        ref = smoothers._point_color_update(e, s, par, fact, color)
+        out = gauss_seidel_point_pallas(e, s, par, nu=1, shape=shape,
+                                        interpret=True, _seq=(color,))
+        for a, b in zip(ref, out):
+            np.testing.assert_allclose(
+                np.asarray(cx.tocomplex(b)),
+                np.asarray(cx.tocomplex(a)), atol=1e-6)
