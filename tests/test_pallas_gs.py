@@ -46,7 +46,7 @@ def test_pallas_matches_xla(shape, tx):
     for a, b in zip(ref, out):
         np.testing.assert_allclose(
             np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
-            atol=2e-6)
+            atol=1e-5)
 
 
 def test_pallas_single_color_exact():
