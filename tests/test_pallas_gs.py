@@ -64,4 +64,4 @@ def test_pallas_single_color_exact():
         for a, b in zip(ref, out):
             np.testing.assert_allclose(
                 np.asarray(cx.tocomplex(b)),
-                np.asarray(cx.tocomplex(a)), atol=1e-6)
+                np.asarray(cx.tocomplex(a)), atol=5e-6)
