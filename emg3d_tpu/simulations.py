@@ -342,10 +342,13 @@ class Simulation:
         """Batched multi-source solves where grids+frequency coincide.
 
         Fills ``_dict_efield`` for groups of >=2 uncomputed sources
-        sharing (grid, frequency) when the solver is plain multigrid;
-        remaining pairs fall through to per-pair ``get_efield``.
+        sharing (grid, frequency); plain multigrid and bicgstab both
+        batch; other Krylov variants fall back to per-pair solves.
         """
-        if self.solver_opts.get('sslsolver', True):
+        ssl = self.solver_opts.get('sslsolver', True)
+        if ssl is True:
+            ssl = 'bicgstab'
+        if ssl not in (False, 'bicgstab'):
             return
 
         from .solver import solve_batched
@@ -365,7 +368,8 @@ class Simulation:
             sfields = [self.get_sfield(src, freq) for src in srcs]
             opts = {k: v for k, v in self.solver_opts.items()
                     if k not in ['sslsolver', 'return_info', 'log']}
-            efields, info = solve_batched(grid, model, sfields, **opts)
+            efields, info = solve_batched(grid, model, sfields,
+                                          sslsolver=ssl, **opts)
             for i, src in enumerate(srcs):
                 self._dict_efield[src][freq] = efields[i]
                 sinfo = dict(info)

@@ -1330,6 +1330,12 @@ def _jit_residual_b(e, s, arrays):
 
 
 @jax.jit
+def _jit_amat_b(e, arrays):
+    """Operator application for batched fields."""
+    return jax.vmap(lambda e_: stencil.amat(*e_, *arrays))(e)
+
+
+@jax.jit
 def _norm_b(rx, ry, rz):
     """Per-source residual norms for batched fields: (B,)."""
     def one(a):
@@ -1368,23 +1374,20 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         raise ValueError(
             "All sources of a batched solve must share the frequency; "
             f"got {sorted(freqs)}.")
-    if kwargs.get('sslsolver'):
-        raise NotImplementedError(
-            "sslsolver is not supported in batched solves; "
-            "use plain multigrid cycles (they are the preconditioner "
-            "anyway) or per-source solve().")
-    kwargs.pop('sslsolver', None)
+    sslsolver = kwargs.pop('sslsolver', False)
 
     var = MGParameters(
-        verb=verb, cycle=cycle, sslsolver=False,
+        verb=verb, cycle=cycle, sslsolver=sslsolver,
         linerelaxation=linerelaxation, semicoarsening=semicoarsening,
         shape_cells=tuple(grid.shape_cells), **kwargs)
 
     vmodel = models.VolumeModel(grid, model, sfields[0])
 
-    # Stack sources along a leading batch axis.
-    split = use_split_complex() and np.iscomplexobj(
-        np.asarray(sfields[0].fx))
+    # Stack sources along a leading batch axis.  The batched Krylov
+    # path always uses the split representation (its per-source scalar
+    # algebra is written in C2); precision follows the x64 state.
+    split = (use_split_complex() or bool(sslsolver)) and \
+        np.iscomplexobj(np.asarray(sfields[0].fx))
     if split:
         rdt = jnp.zeros(0, dtype=np.asarray(
             sfields[0].fx).real.dtype).dtype
@@ -1418,6 +1421,58 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     refe = np.array([float(sf.norm()) for sf in sfields])
     var.l2_refe = float(refe.max())
     refe = np.where(refe == 0, 1.0, refe)
+
+    if var.sslsolver:
+        if var.sslsolver != 'bicgstab':
+            raise NotImplementedError(
+                "Batched Krylov currently implements bicgstab only.")
+        fine = ctx.levels(int(var.sc_dir))[0]
+
+        def matvec(ee):
+            return _jit_amat_b(ee, fine.arrays)
+
+        def prec(rr):
+            return _precond_fixed_cycles(ctx, var, rr, batch=True)
+
+        def on_iter(itk, xk):
+            var._ssl_it += 1
+
+        atol_b = jnp.asarray(np.maximum(var.tol * refe, 1e-30))
+        x, kinfo = _bicgstab_batched(matvec, prec, s, e, atol_b,
+                                     var.ssl_maxit, on_iter)
+        rn = np.sqrt(np.asarray(_dot_b(
+            tuple(bb - aa for bb, aa in zip(s, matvec(x))),
+            tuple(bb - aa for bb, aa in zip(s, matvec(x)))).re))
+        l2_last = rn
+        if kinfo == 0:
+            var.exit_message = 'CONVERGED'
+        elif kinfo > 0:
+            var.exit_message = 'MAX. ITERATION REACHED, NOT CONVERGED'
+        else:
+            var.exit_message = f'Error in bicgstab ({kinfo})'
+        var.cprint("\n   > " + var.exit_message, 2)
+        result = x
+        out = []
+        freq = sfields[0]._frequency
+        comps = [np.array(cx.tocomplex(c)) for c in result]
+        for b_ in range(len(sfields)):
+            out.append(fields.Field(comps[0][b_], comps[1][b_],
+                                    comps[2][b_], frequency=freq))
+        info = {
+            'exit': 0 if var.exit_message == 'CONVERGED' else 1,
+            'exit_message': var.exit_message,
+            'abs_error': l2_last,
+            'rel_error': l2_last / refe,
+            'ref_error': refe,
+            'tol': var.tol,
+            'it_mg': var.it,
+            'it_ssl': var._ssl_it,
+            'time': var.time.elapsed,
+            'runtime_at_cycle': var.runtime_at_cycle,
+            'error_at_cycle': var.error_at_cycle,
+            'log': var.log_message,
+        }
+        return out, info
 
     from collections import deque
     pending = deque()
@@ -1509,3 +1564,142 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         'log': var.log_message,
     }
     return out, info
+
+
+# ======================================================================
+# Batched Krylov (per-source scalars on device)
+# ======================================================================
+
+def _dot_b(a, b):
+    """Per-source inner products <a_i, b_i>: (B,) device scalar(s)."""
+    def red(x):
+        return jnp.sum(x.reshape(x.shape[0], -1), axis=1)
+    re = None
+    im = None
+    for x, y in zip(a, b):
+        if cx.is_c2(x):
+            r_ = red(x.re * y.re + x.im * y.im)
+            i_ = red(x.re * y.im - x.im * y.re)
+        else:
+            v = red(jnp.conj(x) * y)
+            r_, i_ = jnp.real(v), jnp.imag(v)
+        re = r_ if re is None else re + r_
+        im = i_ if im is None else im + i_
+    return cx.C2(re, im)
+
+
+def _bcast_scal(scal, ndim):
+    """(B,)-scalar (C2) -> broadcastable (B, 1, 1, 1)."""
+    sh = (-1,) + (1,) * (ndim - 1)
+    return cx.C2(scal.re.reshape(sh), scal.im.reshape(sh))
+
+
+def _cdiv_guard(num, den, guard):
+    """num/den with den replaced by 1 where ``guard`` is False."""
+    d2 = den.re * den.re + den.im * den.im
+    safe = jnp.where(guard, d2, 1.0)
+    den = cx.C2(jnp.where(guard, den.re, 1.0),
+                jnp.where(guard, den.im, 0.0))
+    out = num * den.conj()
+    return cx.C2(out.re / safe, out.im / safe)
+
+
+def _bicgstab_batched(matvec, precond, b, x, atol_b, maxiter, on_iter):
+    """Per-source BiCGSTAB with (B,) device scalars and lane freezing.
+
+    Converged/broken-down sources are frozen via masks; the iteration
+    stops when every source is converged (or maxiter).  Returns
+    (x, info) with info=0 if all converged.
+    """
+    B = atol_b.shape[0]
+    ndim = 4
+
+    def fz(mask, new, old):
+        """Freeze: where(active) take new else old (fields)."""
+        m = mask.reshape((-1,) + (1,) * (ndim - 1))
+        return tuple(cx.C2(jnp.where(m, nn.re, oo.re),
+                           jnp.where(m, nn.im, oo.im))
+                     if cx.is_c2(nn) else jnp.where(m, nn, oo)
+                     for nn, oo in zip(new, old))
+
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    ones = jnp.ones((B,))
+    zeros_ = jnp.zeros((B,))
+    rho_prev = cx.C2(ones, zeros_)
+    alpha = cx.C2(ones, zeros_)
+    omega = cx.C2(ones, zeros_)
+    v = tuple(cx.zeros_like(c) for c in r)
+    p = tuple(cx.zeros_like(c) for c in r)
+    active = jnp.ones((B,), bool)
+
+    info = maxiter
+    for it in range(maxiter):
+        rnorm = jnp.sqrt(_dot_b(r, r).re)
+        host_rnorm = np.asarray(rnorm)
+        host_active = np.asarray(active)
+        done = host_rnorm <= np.asarray(atol_b)
+        if np.all(done | ~host_active):
+            info = 0 if np.all(done) else -1
+            break
+        active = jnp.asarray(host_active & ~done)
+
+        rho = _dot_b(rtilde, r)
+        ok = (rho.re**2 + rho.im**2) > 0
+        active = active & ok
+
+        beta = (_cdiv_guard(rho, rho_prev, active) *
+                _cdiv_guard(alpha, omega, active))
+        bb_ = _bcast_scal(beta, ndim)
+        om_ = _bcast_scal(omega, ndim)
+        p_new = tuple(rr + bb_ * (pp - om_ * vv)
+                      for rr, pp, vv in zip(r, p, v))
+        p = fz(active, p_new, p)
+
+        phat = precond(p)
+        v_new = matvec(phat)
+        v = fz(active, v_new, v)
+        denom = _dot_b(rtilde, v)
+        ok = (denom.re**2 + denom.im**2) > 0
+        active = active & ok
+        alpha = _cdiv_guard(rho, denom, active)
+        al_ = _bcast_scal(alpha, ndim)
+        sres = tuple(rr - al_ * vv for rr, vv in zip(r, v))
+
+        shat = precond(sres)
+        t = matvec(shat)
+        tt = _dot_b(t, t)
+        ok = tt.re > 0
+        active_o = active & ok
+        omega = _cdiv_guard(_dot_b(t, sres), tt, active_o)
+        om2_ = _bcast_scal(omega, ndim)
+
+        x_new = tuple(xx + al_ * ph + om2_ * sh
+                      for xx, ph, sh in zip(x, phat, shat))
+        x = fz(active, x_new, x)
+        r_new = tuple(ss - om2_ * ttt for ss, ttt in zip(sres, t))
+        r = fz(active, r_new, r)
+        rho_prev = rho
+        on_iter(it, x)
+
+    return x, info
+
+
+def _precond_fixed_cycles(ctx, var, r, batch):
+    """Preconditioner: exactly maxit MG cycles, no norm fetches.
+
+    (When MG preconditions a Krylov solver, maxit equals the length of
+    the sc/lr schedule — reference solver.py:1356-1364.)
+    """
+    e = tuple(cx.zeros_like(c) for c in r)
+    for _ in range(var.maxit):
+        conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
+                int(var.lr_dir))
+        levels = ctx.levels(int(var.sc_dir))
+        e = run_one_cycle(e, r, levels, conf, batch=batch)
+        var.it += 1
+        if var.sc_cycle:
+            var.sc_dir = next(var.sc_cycle)
+        if var.lr_cycle:
+            var.lr_dir = next(var.lr_cycle)
+    return e

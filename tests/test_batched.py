@@ -48,10 +48,44 @@ def test_batched_validation(problem):
     s2 = get_source_field(grid, [300, 900, 700, 0, 0], 2.0)
     with pytest.raises(ValueError, match='share the frequency'):
         solve_batched(grid, model, [s1, s2])
-    with pytest.raises(NotImplementedError, match='sslsolver'):
-        solve_batched(grid, model, [s1], sslsolver='bicgstab')
+    with pytest.raises(NotImplementedError, match='bicgstab only'):
+        solve_batched(grid, model, [s1], sslsolver='cgs')
     with pytest.raises(ValueError, match='at least one'):
         solve_batched(grid, model, [])
+
+
+def test_batched_bicgstab_matches_single(problem):
+    grid, model = problem
+    sfields = [get_source_field(grid, [200 + 300*i, 800, 800, 0, 0],
+                                1.0) for i in range(3)]
+    es, info = solve_batched(grid, model, sfields, cycle='F',
+                             sslsolver='bicgstab', semicoarsening=True,
+                             linerelaxation=True, verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert np.all(info['rel_error'] < 1e-6)
+    from emg3d_tpu import solve as _solve
+    for i in (0, 2):
+        ei = _solve(grid, model, sfields[i], cycle='F',
+                    sslsolver='bicgstab', semicoarsening=True,
+                    linerelaxation=True, verb=1)
+        rel = (np.linalg.norm(es[i].field - ei.field) /
+               np.linalg.norm(ei.field))
+        assert rel < 1e-5
+
+
+def test_simulation_batched_default_opts(problem):
+    """The default (sslsolver) Simulation path batches sources too."""
+    grid, model = problem
+    survey = Survey('BatchK', ([300, 600, 900], 800, 800, 0, 0),
+                    (1200, 800, 800, 0, 0), 1.0,
+                    noise_floor=1e-15, relative_error=0.05)
+    sim = Simulation('bk', survey, grid, model, gridding='same',
+                     solver_opts={'tol': 1e-5}, verb=-1)
+    sim.compute()
+    for src in survey.sources:
+        info = sim.get_efield_info(src, 1.0)
+        assert info['exit_message'] == 'CONVERGED'
+    assert np.all(np.isfinite(sim.data.synthetic))
 
 
 def test_simulation_uses_batched(problem):
