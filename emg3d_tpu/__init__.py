@@ -16,7 +16,7 @@ from .models import Model, VolumeModel
 from .fields import (Field, SourceField, get_source_field, get_receiver,
                      get_receiver_response, get_h_field)
 from .maps import grid2grid, interp3d
-from .solver import solve
+from .solver import solve, solve_batched
 from .surveys import Survey, Dipole, PointDipole
 from .simulations import Simulation, expand_grid_model
 from .utils import EMArray, Report
@@ -29,6 +29,6 @@ __all__ = [
     'Field', 'SourceField', 'get_source_field', 'get_receiver',
     'get_receiver_response', 'get_h_field',
     'grid2grid', 'interp3d',
-    'solve', 'Survey', 'Dipole', 'PointDipole', 'Simulation',
+    'solve', 'solve_batched', 'Survey', 'Dipole', 'PointDipole', 'Simulation',
     'expand_grid_model', 'EMArray', 'Report', 'cx', 'io', 'optimize',
 ]
