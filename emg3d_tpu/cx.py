@@ -81,10 +81,16 @@ class C2:
 
     @staticmethod
     def _coerce(o):
+        import numpy as _np
         if isinstance(o, C2):
             return o
         if isinstance(o, complex) or (
-                hasattr(o, 'dtype') and jnp.iscomplexobj(o)):
+                isinstance(o, (_np.generic, _np.ndarray)) and
+                _np.iscomplexobj(o)):
+            # Host complex scalar/array: split on host — complex device
+            # arrays are unsupported on TPU backends.
+            return C2(jnp.asarray(_np.real(o)), jnp.asarray(_np.imag(o)))
+        if hasattr(o, 'dtype') and jnp.iscomplexobj(o):
             oo = jnp.asarray(o)
             return C2(jnp.real(oo), jnp.imag(oo))
         return None  # real
@@ -292,9 +298,10 @@ def zeros_like(a):
 
 
 def real_dtype_of(a):
+    import numpy as np
     if isinstance(a, C2):
         return a.re.dtype
-    return jnp.zeros(0, a.dtype).real.dtype
+    return jax.dtypes.canonicalize_dtype(np.zeros(0, a.dtype).real.dtype)
 
 
 def _einsum(expr, a, b):

@@ -774,8 +774,8 @@ class _SolveContext:
         is_cplx = np.iscomplexobj(np.asarray(sfield.fx))
         self.split = use_split_complex() and is_cplx
         if self.split:
-            rdt = jnp.zeros(0, dtype=np.asarray(sfield.fx).real.dtype
-                            ).dtype
+            rdt = jax.dtypes.canonicalize_dtype(
+                np.asarray(sfield.fx).real.dtype)
             self.s = tuple(cx.aspair(np.asarray(f), dtype=rdt) for f in
                            (sfield.fx, sfield.fy, sfield.fz))
             self.e = tuple(cx.aspair(np.asarray(f), dtype=rdt) for f in
@@ -1389,8 +1389,8 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     split = (use_split_complex() or bool(sslsolver)) and \
         np.iscomplexobj(np.asarray(sfields[0].fx))
     if split:
-        rdt = jnp.zeros(0, dtype=np.asarray(
-            sfields[0].fx).real.dtype).dtype
+        rdt = jax.dtypes.canonicalize_dtype(
+            np.asarray(sfields[0].fx).real.dtype)
 
         def stack(name):
             re = np.stack([np.asarray(getattr(sf, name)).real
