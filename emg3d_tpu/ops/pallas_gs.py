@@ -7,28 +7,51 @@ color update — residual stencil, coefficient assembly, 6×6 LDLᵀ solve
 and the masked scatter — into one pass over x-slabs held in VMEM:
 per color update each array is read once and the field written once.
 
-Design:
+Mosaic-compatible design (the TPU vector units tile the trailing two
+dimensions (sublane, lane) = (8, 128); slices/pads/concats at
+unaligned offsets on those dims do not lower):
 
+- **Padded global-coordinate layout.** Every 3-D array is embedded in
+  an (nx+2, Yp, Zp) buffer with Yp = ⌈(ny+1)/8⌉·8, Zp = ⌈(nz+1)/128⌉·128,
+  value at buffer index (i, j, k) == logical index (i, j, k), zero
+  padding elsewhere.  The x-axis is a *leading (untiled)* dimension:
+  slab DMA offsets along x are unconstrained.
+- **Rolls instead of slices.** All y/z neighbor access is
+  `pltpu.roll` (supported at any shift); results stay full-shape in
+  "global coordinates" so arrays combine without re-alignment.
+  Garbage rolled in from padding is masked before use (`where`), and
+  padding is zero so no Inf/NaN can propagate into valid lanes.
+- **Coalesced DMA.** The 16 read-only parameter planes live in ONE
+  stacked HBM array (15, nx+2, Yp, Zp) (+ the small x-width plane),
+  and the 6 electric-field planes in another (6, nx+2, Yp, Zp) that is
+  aliased in/out — a tile issues 3 input DMAs and 1 output DMA instead
+  of 28, which matters because DMA issue overhead (not bandwidth)
+  dominates at these slab sizes.
+- **Field-independent precomputation.** The η edge-sums (stx/sty/stz)
+  and ζ face-weights (wx/wy/wz) are computed once per smoothing call
+  on the XLA side and passed in — all 24 ζ-average node coefficients
+  of the reference (core.py:321-361) are single products of these
+  with 0.5/h factors, so the kernel needs no pair-sums or
+  edge-clamping at all.
 - grid = (n_color_steps, n_tiles): TPU grids iterate sequentially, so
   color updates serialize (Gauss-Seidel order) while everything inside
   a (color, tile) step is fused.  The color sequence (with per-sweep
   order reversal) is scalar-prefetched.
-- Tiles are x-slabs of interior nodes with one-node halos; all arrays
-  live in HBM (`pl.ANY`) and slabs are DMA'd manually (dynamic
-  offsets), since halo-overlapping reads don't fit BlockSpec blocks.
-  Same-color node blocks are provably non-interacting (distance-2
-  parity), so the slab-sequential writes are race-free.
-- The electric field is aliased in/out (``input_output_aliases``):
-  updates happen in HBM across grid steps.
-- The numerics REUSE the validated jnp implementations
-  (stencil.residual_parts, coeffs.node_coefficients,
-  blocksolve.ldl_solve_sparse) on slab values — bit-identical math to
-  the XLA path, minus the HBM round trips.
+- The electric field stack is aliased in/out (``input_output_aliases``)
+  and whole slabs are written back: unwritten (non-owned) rows carry
+  the values loaded at step start, which are current because grid
+  steps serialize — so the re-write is a no-op.
+- The numerics REUSE the validated arithmetic (coeffs.node_block_entries,
+  blocksolve.ldl_solve_sparse) — bit-identical math to the XLA path,
+  minus the HBM round trips.
 
 Split re/im (C2) float32 representation only — the TPU production
-path.  The XLA path remains for CPU/native-complex runs.
+path.  The XLA path remains for CPU/native-complex and batched runs.
+
+Reference parity: emg3d/core.py:181-474 (point Gauss-Seidel).
 """
 import functools
+import os
 
 import numpy as np
 import jax
@@ -39,167 +62,201 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import cx
 from . import stencil
 from .blocksolve import ldl_solve_sparse
-from .coeffs import node_coefficients, node_block_entries
+from .coeffs import NodeCoeffs, node_block_entries
 
-__all__ = ['gauss_seidel_point_pallas', 'supported']
+__all__ = ['gauss_seidel_point_pallas', 'supported', 'enabled']
 
 
 def supported(e):
-    """Pallas path requires the split-pair representation."""
-    return all(isinstance(c, cx.C2) for c in e)
+    """Pallas path requires the split-pair representation, 3-D arrays."""
+    return (all(isinstance(c, cx.C2) for c in e)
+            and e[0].re.ndim == 3)
 
 
-def _kernel(colors_ref, *refs, tx, nx, nsh):
+_ENABLED = None
+
+
+def enabled():
+    """Use the fused kernel?  TPU backend and not explicitly disabled."""
+    global _ENABLED
+    if _ENABLED is None:
+        if os.environ.get('EMG3D_TPU_NO_PALLAS'):
+            _ENABLED = False
+        else:
+            try:
+                _ENABLED = jax.default_backend() == 'tpu'
+            except Exception:
+                _ENABLED = False
+    return _ENABLED
+
+
+def _kernel(colors_ref, *refs, tx, nx, nyz):
     """One (color-step, tile) unit of the fused smoother.
 
-    refs layout: 19 HBM inputs [exr, exi, eyr, eyi, ezr, ezi,
-    sxr, ..., szi, etxr, etxi, etyr, etyi, etzr, etzi, zeta],
-    3 VMEM width inputs [hx3, hy3, hz3], 6 HBM outputs (aliased e),
-    19 VMEM scratch slabs, 1 DMA semaphore array.
+    refs layout: HBM inputs [estack (6,·), pstack (15,·), ihx (·,1,Zp)],
+    2 VMEM inputs [ihy, ihz], 1 HBM output (aliased estack),
+    3 VMEM scratch [es, ps, ihxs], 1 DMA semaphore array.
+
+    pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
+    styi, stzr, stzi, wx, wy, wz].
     """
-    ny, nz = nsh
-    n_in = 19
-    hbm = refs[:n_in]
-    hx3, hy3, hz3 = refs[n_in:n_in + 3]
-    outs = refs[n_in + 3:n_in + 9]
-    scratch = refs[n_in + 9:n_in + 9 + n_in]
-    sems = refs[-1]
+    ny, nz = nyz
+    XL = tx + 3
+    _e_hbm, p_hbm, ihx_hbm = refs[0], refs[1], refs[2]
+    ihy_r, ihz_r = refs[3], refs[4]
+    e_out = refs[5]
+    es, ps, ihxs = refs[6], refs[7], refs[8]
+    sems = refs[9]
 
     step = pl.program_id(0)
     tile = pl.program_id(1)
 
-    # Tile bounds: interior nodes [1, nx-1); static slab of tx nodes.
-    n0 = jnp.minimum(1 + tile * tx, jnp.maximum(nx - 1 - tx, 1))
-    x0 = n0 - 1                      # first slab cell
+    # Tile ownership: interior nodes [own_lo, own_hi) ⊆ [1, nx).
+    own_lo = 1 + tile * tx
+    own_hi = jnp.minimum(own_lo + tx, nx)
+    x0 = jnp.minimum(own_lo - 1, (nx + 2) - XL)
 
-    # --- DMA all slabs in. Slab x-extents (static):
-    #   cell-indexed arrays (ex, eta, zeta): tx + 2 cells from x0
-    #   node-indexed arrays (ey, ez, s_y, s_z): tx + 3 nodes from x0
-    # ex/sx are cell-indexed in x; ey/ez/sy/sz node-indexed.
-    cell_len = tx + 2
-    node_len = tx + 3
-    is_cell = [True, True, False, False, False, False,   # e
-               True, True, False, False, False, False,   # s
-               True, True, True, True, True, True, True]  # eta, zeta
-
-    # The electric field is read from the OUTPUT refs (they alias the
-    # inputs): grid steps must see the previous steps' writes.
-    def src_ref(i):
-        return outs[i] if i < 6 else hbm[i]
-
-    for i in range(n_in):
-        ln = cell_len if is_cell[i] else node_len
-        cp = pltpu.make_async_copy(
-            src_ref(i).at[pl.ds(x0, ln)], scratch[i].at[pl.ds(0, ln)],
-            sems.at[i])
+    # The electric field is read from the OUTPUT ref (it aliases the
+    # input): grid steps must see the previous steps' writes.
+    cps = [
+        pltpu.make_async_copy(e_out.at[:, pl.ds(x0, XL)], es,
+                              sems.at[0]),
+        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps,
+                              sems.at[1]),
+        pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
+                              sems.at[2]),
+    ]
+    for cp in cps:
         cp.start()
-    for i in range(n_in):
-        ln = cell_len if is_cell[i] else node_len
-        pltpu.make_async_copy(
-            src_ref(i).at[pl.ds(x0, ln)], scratch[i].at[pl.ds(0, ln)],
-            sems.at[i]).wait()
+    for cp in cps:
+        cp.wait()
 
-    # --- Load slab values.
-    def C(i, ln):
-        return cx.C2(scratch[i][pl.ds(0, ln)],
-                     scratch[i + 1][pl.ds(0, ln)])
+    def E(i):
+        return cx.C2(es[i], es[i + 1])
 
-    ex = C(0, cell_len)
-    ey = C(2, node_len)
-    ez = C(4, node_len)
-    sx = C(6, cell_len)
-    sy = C(8, node_len)
-    sz = C(10, node_len)
-    etx = C(12, cell_len)
-    ety = C(14, cell_len)
-    etz = C(16, cell_len)
-    zeta = scratch[18][pl.ds(0, cell_len)]
+    def P(i):
+        return cx.C2(ps[i], ps[i + 1])
 
-    hx = hx3[pl.ds(x0, cell_len), 0]
-    hy = hy3[:, 0]
-    hz = hz3[:, 0]
+    ex, ey, ez = E(0), E(2), E(4)
+    sx, sy, sz = P(0), P(2), P(4)
+    stx, sty, stz = P(6), P(8), P(10)
+    wx = ps[12]
+    wy = ps[13]
+    wz = ps[14]
+    ihx = ihxs[:]              # (XL, 1, Zp), x-varying, lane-replicated
+    ihy = ihy_r[:]             # (1, Yp, 1)
+    ihz = ihz_r[:]             # (1, 1, Zp)
 
-    par = (etx, ety, etz, zeta, hx, hy, hz)
+    # --- global-coordinate shifts (value at index∓1, same shape).
+    def _r(a, sh, ax):
+        if isinstance(a, cx.C2):
+            return cx.C2(_r(a.re, sh, ax), _r(a.im, sh, ax))
+        return pltpu.roll(a, sh, ax)
 
-    # --- Residual on the slab, interior rows only (no PEC pads —
-    # Mosaic-friendly; slab-local PEC rows are unused anyway).
-    rxi, ryi, rzi = stencil.residual_interior(sx, sy, sz, ex, ey, ez,
-                                              *par)
+    def _sz(a, ax):
+        return (a.re if isinstance(a, cx.C2) else a).shape[ax]
 
-    # --- Node blocks + solve (slab interior nodes, tx+1 of them).
-    c = node_coefficients(*par)
+    def dnx(a):
+        return _r(a, 1, 0)
+
+    def upx(a):
+        return _r(a, _sz(a, 0) - 1, 0)
+
+    def dny(a):
+        return _r(a, 1, 1)
+
+    def upy(a):
+        return _r(a, _sz(a, 1) - 1, 1)
+
+    def dnz(a):
+        return _r(a, 1, 2)
+
+    def upz(a):
+        return _r(a, _sz(a, 2) - 1, 2)
+
+    # --- ζ-weighted curl on faces (global coords; garbage in pads).
+    v1 = (upy(ez) - ez) * ihy - (upz(ey) - ey) * ihz
+    v2 = (upz(ex) - ex) * ihz - (upx(ez) - ez) * ihx
+    v3 = (upx(ey) - ey) * ihx - (upy(ex) - ex) * ihy
+    u1 = v1 * wx
+    u2 = v2 * wy
+    u3 = v3 * wz
+
+    # --- residual r = s − A e at the edges (interior entries valid).
+    t3 = u3 * ihy
+    t2 = u2 * ihz
+    rx = sx - ((t3 - dny(t3)) - (t2 - dnz(t2))) * 0.5 + stx * ex * 0.25
+    t1z = u1 * ihz
+    s3 = u3 * ihx
+    ry = sy - ((t1z - dnz(t1z)) - (s3 - dnx(s3))) * 0.5 + sty * ey * 0.25
+    t1y = u1 * ihy
+    s2 = u2 * ihx
+    rz = sz - ((s2 - dnx(s2)) - (t1y - dny(t1y))) * 0.5 + stz * ez * 0.25
+
+    # --- residual at the six block edges of the node at (i, j, k).
+    rb = [dnx(rx), rx, dny(ry), ry, dnz(rz), rz]
+
+    # --- node-block coefficients: every ζ-average m-term is one
+    # (0.5/h) × face-weight product (see coeffs.node_coefficients for
+    # the zeta-sum definitions these map onto).
+    kxm = dnx(ihx) * 0.5
+    kxp = ihx * 0.5
+    kym = dny(ihy) * 0.5
+    kyp = ihy * 0.5
+    kzm = dnz(ihz) * 0.5
+    kzp = ihz * 0.5
+    wzm = dnx(wz)
+    wym = dnx(wy)
+    c = NodeCoeffs(
+        mzyLxm=kym * dny(wzm), mzyRxm=kyp * wzm,
+        myzLxm=kzm * dnz(wym), myzRxm=kzp * wym,
+        mzyLxp=kym * dny(wz), mzyRxp=kyp * wz,
+        myzLxp=kzm * dnz(wy), myzRxp=kzp * wy,
+        mzxLym=kxm * dny(wzm), mzxRym=kxp * dny(wz),
+        mxzLym=kzm * dny(dnz(wx)), mxzRym=kzp * dny(wx),
+        mzxLyp=kxm * wzm, mzxRyp=kxp * wz,
+        mxzLyp=kzm * dnz(wx), mxzRyp=kzp * wx,
+        myxLzm=kxm * dnz(wym), myxRzm=kxp * dnz(wy),
+        mxyLzm=kym * dny(dnz(wx)), mxyRzm=kyp * dnz(wx),
+        myxLzp=kxm * wym, myxRzp=kxp * wy,
+        mxyLzp=kym * dny(wx), mxyRzp=kyp * wx,
+        st0=dnx(stx), st1=stx, st2=dny(sty), st3=sty,
+        st4=dnz(stz), st5=stz,
+        ihxm=dnx(ihx), ihxp=ihx, ihym=dny(ihy), ihyp=ihy,
+        ihzm=dnz(ihz), ihzp=ihz,
+    )
     entries = node_block_entries(c)
-    rb = [rxi[:-1], rxi[1:],
-          ryi[:, :-1, :], ryi[:, 1:, :],
-          rzi[:, :, :-1], rzi[:, :, 1:]]
     delta = ldl_solve_sparse(6, entries, rb)
 
-    # --- Mask: color parity AND tile ownership AND global interior.
+    # --- mask: color parity AND tile ownership AND global interior.
     color = colors_ref[step]
     px_ = color % 2
     py_ = (color // 2) % 2
     pz_ = color // 4
-    gx = n0 + jax.lax.broadcasted_iota(
-        jnp.int32, (tx + 1, ny - 1, nz - 1), 0)
-    jj = jax.lax.broadcasted_iota(
-        jnp.int32, (tx + 1, ny - 1, nz - 1), 1) + 1
-    kk = jax.lax.broadcasted_iota(
-        jnp.int32, (tx + 1, ny - 1, nz - 1), 2) + 1
-    own_lo = 1 + tile * tx
-    own_hi = jnp.minimum(own_lo + tx, nx - 1)
+    sh = rb[0].re.shape
+    gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
     mask = ((gx % 2 == px_) & (jj % 2 == py_) & (kk % 2 == pz_) &
-            (gx >= own_lo) & (gx < own_hi))
+            (gx >= own_lo) & (gx < own_hi) &
+            (jj >= 1) & (jj <= ny - 1) & (kk >= 1) & (kk <= nz - 1))
     dm = [cx.where(mask, d, 0) for d in delta]
 
-    # --- Scatter-add via two sequential sliced ref-region updates per
-    # component (each edge belongs to two node roles; the regions
-    # overlap, so the second update re-reads the stored first).
-    # Mosaic supports sliced loads/stores; pads/concats of offset
-    # vectors it does not.
-    def region_add(r_re, r_im, idx, val):
-        cur = cx.C2(r_re[idx], r_im[idx]) + val
-        r_re[idx] = cur.re
-        r_im[idx] = cur.im
+    # --- scatter-add: each active node deposits into the two adjacent
+    # edges per component; masked deltas are zero elsewhere so the
+    # up-rolls deposit nothing out of place.
+    exn = ex + upx(dm[0]) + dm[1]
+    eyn = ey + upy(dm[2]) + dm[3]
+    ezn = ez + upz(dm[4]) + dm[5]
+    for i, a in ((0, exn), (2, eyn), (4, ezn)):
+        es[i] = a.re
+        es[i + 1] = a.im
 
-    ix0 = (slice(0, cell_len - 1), slice(1, ny), slice(1, nz))
-    ix1 = (slice(1, cell_len), slice(1, ny), slice(1, nz))
-    region_add(scratch[0], scratch[1], ix0, dm[0])
-    region_add(scratch[0], scratch[1], ix1, dm[1])
-
-    iy0 = (slice(1, node_len - 1), slice(0, ny - 1), slice(1, nz))
-    iy1 = (slice(1, node_len - 1), slice(1, ny), slice(1, nz))
-    region_add(scratch[2], scratch[3], iy0, dm[2])
-    region_add(scratch[2], scratch[3], iy1, dm[3])
-
-    iz0 = (slice(1, node_len - 1), slice(1, ny), slice(0, nz - 1))
-    iz1 = (slice(1, node_len - 1), slice(1, ny), slice(1, nz))
-    region_add(scratch[4], scratch[5], iz0, dm[4])
-    region_add(scratch[4], scratch[5], iz1, dm[5])
-
-    # Owned writes: ex cells [own_lo-1, own_hi), ey/ez nodes
-    # [own_lo, own_hi).  Static DMA lengths with starts clamped into
-    # bounds: the extra overlap positions carry unmodified values read
-    # after the previous tile's writeback (masked delta), so
-    # re-writing them is a no-op.
-    off_cell = jnp.clip(own_lo - 1, 0, nx - (tx + 1))
-    off_node = jnp.clip(own_lo, 1, (nx + 1) - tx - 1)
-    loc_cell = off_cell - x0
-    loc_node = off_node - x0
-    plan = [(off_cell, loc_cell, tx + 1),
-            (off_node, loc_node, tx),
-            (off_node, loc_node, tx)]
-    for i, (off_dev, off_loc, ln) in enumerate(plan):
-        for ri in (2 * i, 2 * i + 1):
-            pltpu.make_async_copy(
-                scratch[ri].at[pl.ds(off_loc, ln)],
-                outs[ri].at[pl.ds(off_dev, ln)],
-                sems.at[ri]).start()
-    for i, (off_dev, off_loc, ln) in enumerate(plan):
-        for ri in (2 * i, 2 * i + 1):
-            pltpu.make_async_copy(
-                scratch[ri].at[pl.ds(off_loc, ln)],
-                outs[ri].at[pl.ds(off_dev, ln)],
-                sems.at[ri]).wait()
+    # Whole-slab writeback (non-owned rows are unmodified = no-op).
+    out_cp = pltpu.make_async_copy(es, e_out.at[:, pl.ds(x0, XL)],
+                                   sems.at[0])
+    out_cp.start()
+    out_cp.wait()
 
 
 @functools.partial(jax.jit,
@@ -215,6 +272,38 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
     """
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    dt = e[0].re.dtype
+
+    Yp = -(-(ny + 1) // 8) * 8
+    Zp = -(-(nz + 1) // 128) * 128
+    NXP = nx + 2
+
+    # Field-independent precomputation (XLA, once per smoothing call).
+    stx_, sty_, stz_ = stencil.eta_edge_sums(eta_x, eta_y, eta_z)
+    wx_, wy_, wz_ = stencil.zeta_face_weights(zeta)
+
+    def pad3(a, r0, j0, k0):
+        X, A, B = a.shape
+        return jnp.zeros((NXP, Yp, Zp), dt).at[
+            r0:r0 + X, j0:j0 + A, k0:k0 + B].set(a.astype(dt))
+
+    def padC(a, r0, j0, k0):
+        return (pad3(a.re, r0, j0, k0), pad3(a.im, r0, j0, k0))
+
+    estack = jnp.stack([
+        *padC(e[0], 0, 0, 0), *padC(e[1], 0, 0, 0), *padC(e[2], 0, 0, 0),
+    ])
+    pstack = jnp.stack([
+        *padC(s[0], 0, 0, 0), *padC(s[1], 0, 0, 0), *padC(s[2], 0, 0, 0),
+        *padC(stx_, 0, 1, 1), *padC(sty_, 1, 0, 1), *padC(stz_, 1, 1, 0),
+        pad3(wx_, 0, 0, 0), pad3(wy_, 0, 0, 0), pad3(wz_, 0, 0, 0),
+    ])
+    ihx_p = jnp.zeros((NXP, 1, Zp), dt).at[:nx, 0, :].set(
+        jnp.broadcast_to((1.0 / hx.astype(dt))[:, None], (nx, Zp)))
+    ihy_p = jnp.zeros((1, Yp, 1), dt).at[0, :ny, 0].set(
+        1.0 / hy.astype(dt))
+    ihz_p = jnp.zeros((1, 1, Zp), dt).at[0, 0, :nz].set(
+        1.0 / hz.astype(dt))
 
     # Color sequence with per-sweep order reversal.
     if _seq is not None:
@@ -222,59 +311,49 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
     else:
         seq = []
         for it in range(nu):
-            cols = (list(range(8)) if it % 2 == 0
-                    else list(range(7, -1, -1)))
-            seq.extend(cols)
+            seq.extend(range(8) if it % 2 == 0 else range(7, -1, -1))
     colors = jnp.asarray(np.array(seq, dtype=np.int32))
 
     # Tile size: keep the slab working set under a VMEM budget.
-    plane = (ny + 1) * (nz + 1) * 4  # bytes per x-slice (f32)
-    budget = 8 * 1024 * 1024         # half of VMEM for slabs
-    tx = max(2, min(nx - 2, budget // (26 * plane) - 3))
+    plane = Yp * Zp * 4
+    budget = 14 * 1024 * 1024   # measured-best on v5e (tx=4 at 64^3)
+    tx = min(nx - 1, max(2, budget // (90 * plane)))
     if _tx is not None:
-        tx = _tx
-    n_tiles = -(-(nx - 2) // tx)
+        tx = min(_tx, nx - 1)
+    tx = max(1, tx)
+    n_tiles = -(-(nx - 1) // tx)
+    XL = tx + 3
 
-    ins = [e[0].re, e[0].im, e[1].re, e[1].im, e[2].re, e[2].im,
-           s[0].re, s[0].im, s[1].re, s[1].im, s[2].re, s[2].im,
-           eta_x.re, eta_x.im, eta_y.re, eta_y.im, eta_z.re, eta_z.im,
-           zeta]
-    hx3 = hx.reshape(-1, 1)
-    hy3 = hy.reshape(-1, 1)
-    hz3 = hz.reshape(-1, 1)
-
-    cell_len = tx + 2
-    node_len = tx + 3
-    scratch_shapes = []
-    for i in range(19):
-        is_cell = i in (0, 1, 6, 7, 12, 13, 14, 15, 16, 17, 18)
-        xlen = cell_len if is_cell else node_len
-        ysz = ins[i].shape[1]
-        zsz = ins[i].shape[2]
-        scratch_shapes.append(pltpu.VMEM((xlen, ysz, zsz),
-                                         jnp.float32))
-    scratch_shapes.append(pltpu.SemaphoreType.DMA((19,)))
+    scratch_shapes = [
+        pltpu.VMEM((6, XL, Yp, Zp), dt),     # e slab stack
+        pltpu.VMEM((15, XL, Yp, Zp), dt),    # parameter slab stack
+        pltpu.VMEM((XL, 1, Zp), dt),         # ihx slab
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(len(seq), n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 19 +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=scratch_shapes,
     )
 
-    kernel = functools.partial(_kernel, tx=tx, nx=nx, nsh=(ny, nz))
+    kernel = functools.partial(_kernel, tx=tx, nx=nx, nyz=(ny, nz))
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(ins[i].shape, jnp.float32)
-                   for i in range(6)],
-        input_output_aliases={i + 1: i for i in range(6)},
+        out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
+        input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(colors, *ins, hx3, hy3, hz3)
+    )(colors, estack, pstack, ihx_p, ihy_p, ihz_p)
 
-    return (cx.C2(out[0], out[1]), cx.C2(out[2], out[3]),
-            cx.C2(out[4], out[5]))
+    def crop(r, sh3):
+        X, A, B = sh3
+        return cx.C2(out[r, :X, :A, :B], out[r + 1, :X, :A, :B])
+
+    return (crop(0, e[0].shape), crop(2, e[1].shape),
+            crop(4, e[2].shape))

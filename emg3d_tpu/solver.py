@@ -414,12 +414,16 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
 # The jitted MG cycle
 # ======================================================================
 
-def _smooth(e, s, arrays, nu, lr_dir, shape):
+def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True):
     """Smoothing dispatch (reference parity: solver.py:738-799)."""
     if nu <= 0:
         return e
     lr = _current_lr_dir(lr_dir, shape)
     if lr == 0:
+        from .ops import pallas_gs
+        if pallas_ok and pallas_gs.enabled() and pallas_gs.supported(e):
+            return pallas_gs.gauss_seidel_point_pallas(
+                tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
         e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu, axis=ax)
@@ -431,7 +435,7 @@ def _residual_e(e, s, arrays):
 
 
 def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
-            is_top=False):
+            is_top=False, pallas_ok=True):
     """Recursive (trace-time unrolled) multigrid body.
 
     Mirrors the reference's recursion (solver.py:478-604) including the
@@ -446,7 +450,8 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
 
     if lvl == nlevels - 1:
         # Coarsest grid: nu_coarse smoothing steps act as direct solve.
-        return _smooth(e, s, arrays, nu_coarse, lr_dir, shape)
+        return _smooth(e, s, arrays, nu_coarse, lr_dir, shape,
+                       pallas_ok=pallas_ok)
 
     if is_top:
         cycmax_here = cycmax
@@ -457,7 +462,8 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
 
     it = 0
     while it < cycmax_here:
-        e = _smooth(e, s, arrays, nu_pre, lr_dir, shape)
+        e = _smooth(e, s, arrays, nu_pre, lr_dir, shape,
+                    pallas_ok=pallas_ok)
 
         r = _residual_e(e, s, arrays)
         coarsen = static[lvl][1]
@@ -470,12 +476,13 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
 
         ec = _mg_rec(ec, rc, levels_arrays, static, lvl + 1,
                      2 if cycle in ['F', 'W'] else 1,
-                     cycmax_here - it, conf)
+                     cycmax_here - it, conf, pallas_ok=pallas_ok)
 
         e = transfers.prolongate(*e, *ec, pweights, coarsen)
         e = stencil.pec_mask_apply(*e)
 
-        e = _smooth(e, s, arrays, nu_post, lr_dir, shape)
+        e = _smooth(e, s, arrays, nu_post, lr_dir, shape,
+                    pallas_ok=pallas_ok)
 
         it += 1
         if is_top:
@@ -516,10 +523,11 @@ def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
                 batch=False):
     if batch:
         return jax.vmap(lambda e_, s_: _smooth(
-            e_, s_, arrays, nu, lr_dir, shape))(e, s)
+            e_, s_, arrays, nu, lr_dir, shape, pallas_ok=False))(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    return _smooth(e, s, arrays, nu, lr_dir, shape)
+    return _smooth(e, s, arrays, nu, lr_dir, shape,
+                   pallas_ok=mesh is None)
 
 
 @_partial(jax.jit,
@@ -532,8 +540,9 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
     cycle body, solver.py:542-556).
     """
-    def body(e_, s_):
-        e_ = _smooth(e_, s_, arrays, nu_pre, lr_dir, shape)
+    def body(e_, s_, pallas_ok=True):
+        e_ = _smooth(e_, s_, arrays, nu_pre, lr_dir, shape,
+                     pallas_ok=pallas_ok)
         r = _residual_e(e_, s_, arrays)
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
@@ -541,10 +550,10 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
         return e_, rc, ec
 
     if batch:
-        return jax.vmap(body)(e, s)
+        return jax.vmap(lambda e_, s_: body(e_, s_, False))(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    return body(e, s)
+    return body(e, s, mesh is None)
 
 
 @_partial(jax.jit,
@@ -553,16 +562,18 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
                         lr_dir, shape, mesh=None, batch=False):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
-    def body(e_, ec_, s_):
+    def body(e_, ec_, s_, pallas_ok=True):
         e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
         e_ = stencil.pec_mask_apply(*e_)
-        return _smooth(e_, s_, arrays, nu_post, lr_dir, shape)
+        return _smooth(e_, s_, arrays, nu_post, lr_dir, shape,
+                       pallas_ok=pallas_ok)
 
     if batch:
-        return jax.vmap(body)(e, ec, s)
+        return jax.vmap(lambda e_, ec_, s_: body(e_, ec_, s_,
+                                                 False))(e, ec, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    return body(e, ec, s)
+    return body(e, ec, s, mesh is None)
 
 
 # Coarse sub-trees at or below this many cells are fused into a single
@@ -589,12 +600,12 @@ def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False):
                    for (sh, co, _, _, _), (wr, wp)
                    in zip(static, weights))
 
-        def body(e_, s_):
+        def body(e_, s_, pallas_ok=True):
             return _mg_rec(e_, s_, arrays, st, 0, cycmax, new_cycmax,
-                           conf, is_top=False)
+                           conf, is_top=False, pallas_ok=pallas_ok)
 
         if batch:
-            return jax.vmap(body)(e, s)
+            return jax.vmap(lambda e_, s_: body(e_, s_, False))(e, s)
         return body(e, s)
 
     fn = jax.jit(tail_fn)
@@ -1437,9 +1448,20 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         def on_iter(itk, xk):
             var._ssl_it += 1
 
-        atol_b = jnp.asarray(np.maximum(var.tol * refe, 1e-30))
-        x, kinfo = _bicgstab_batched(matvec, prec, s, e, atol_b,
+        # Normalize every source to unit norm for the Krylov recurrence:
+        # with float32 lanes the breakdown guards square already-squared
+        # magnitudes (rho ~ ||r||^2), which underflows below ~1e-38 for
+        # mu0-scaled sources (~1e-6) long before true convergence and
+        # poisons the guarded divisions with 0/0.  O(1)-scaled lanes
+        # keep every recurrence scalar comfortably inside f32 range.
+        rdt_ = cx.real_dtype_of(s[0])
+        sc_ = jnp.asarray(1.0 / refe, dtype=rdt_)
+        s_n = tuple(c * sc_.reshape((-1, 1, 1, 1)) for c in s)
+        atol_b = jnp.full((len(sfields),), var.tol, dtype=rdt_)
+        x, kinfo = _bicgstab_batched(matvec, prec, s_n, e, atol_b,
                                      var.ssl_maxit, on_iter)
+        us_ = jnp.asarray(refe, dtype=rdt_).reshape((-1, 1, 1, 1))
+        x = tuple(c * us_ for c in x)
         rn = np.sqrt(np.asarray(_dot_b(
             tuple(bb - aa for bb, aa in zip(s, matvec(x))),
             tuple(bb - aa for bb, aa in zip(s, matvec(x)))).re))
