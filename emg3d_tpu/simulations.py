@@ -403,12 +403,22 @@ class Simulation:
     # -- back-propagation (adjoint solves) ------------------------------
 
     def _bcompute(self):
-        """Back-propagated (adjoint) fields for all (src, freq) pairs."""
+        """Back-propagated (adjoint) fields for all (src, freq) pairs.
+
+        Like the forward :meth:`_compute_batched`, groups of sources
+        sharing (grid, frequency) are solved device-batched (the
+        receivers-as-sources adjoint systems share the operator), the
+        on-device replacement of the reference's process-pool fan-out
+        (emg3d/simulations.py:1145-1169).
+        """
         if not hasattr(self, '_dict_bfield'):
             self._dict_bfield = self._dict_initiate
             self._dict_bfield_info = self._dict_initiate
 
+        self._bcompute_batched()
         for src, freq in self._srcfreq:
+            if self._dict_bfield[src][freq] is not None:
+                continue
             solver_input = {
                 **self.solver_opts,
                 'grid': self.get_grid(src, freq),
@@ -420,6 +430,41 @@ class Simulation:
             self._dict_bfield_info[src][freq] = info
 
         self.print_solver_info('bfield', verb=self.verb)
+
+    def _bcompute_batched(self):
+        """Batched adjoint solves where grids+frequency coincide."""
+        ssl = self.solver_opts.get('sslsolver', True)
+        if ssl is True:
+            ssl = 'bicgstab'
+        if ssl not in (False, 'bicgstab'):
+            return
+
+        from .solver import solve_batched
+
+        groups = {}
+        for src, freq in self._srcfreq:
+            if self._dict_bfield[src][freq] is not None:
+                continue
+            grid = self.get_grid(src, freq)
+            groups.setdefault((id(grid), freq), []).append(src)
+
+        for (gid, freq), srcs in groups.items():
+            if len(srcs) < 2:
+                continue
+            grid = self.get_grid(srcs[0], freq)
+            model = self.get_model(srcs[0], freq)
+            rfields = [self._get_rfield(src, freq) for src in srcs]
+            opts = {k: v for k, v in self.solver_opts.items()
+                    if k not in ['sslsolver', 'return_info', 'log']}
+            bfields, info = solve_batched(grid, model, rfields,
+                                          sslsolver=ssl, **opts)
+            for i, src in enumerate(srcs):
+                self._dict_bfield[src][freq] = bfields[i]
+                sinfo = dict(info)
+                sinfo['abs_error'] = float(info['abs_error'][i])
+                sinfo['rel_error'] = float(info['rel_error'][i])
+                sinfo['ref_error'] = float(info['ref_error'][i])
+                self._dict_bfield_info[src][freq] = sinfo
 
     def _get_rfield(self, source, frequency):
         """Receivers-as-sources residual field (adjoint source).

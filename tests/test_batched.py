@@ -103,3 +103,23 @@ def test_simulation_uses_batched(problem):
         assert info['exit_message'] == 'CONVERGED'
         assert isinstance(info['rel_error'], float)
     assert np.all(np.isfinite(sim.data.synthetic))
+
+
+def test_batched_bicgstab_small_norm_sources(problem):
+    """f32 breakdown-guard regression: mu0-scaled (~1e-6) sources.
+
+    Unit-norm lane scaling keeps the BiCGSTAB recurrence scalars inside
+    float32 range; without it the squared-squared breakdown guards
+    underflow and the solve aborts with nan (batched path only).
+    """
+    grid, model = problem
+    sfields = [get_source_field(grid, [300 + 200*i, 800, 800, 0, 0],
+                                1.0) for i in range(3)]
+    assert all(float(sf.norm()) < 1e-3 for sf in sfields)
+    es, info = solve_batched(grid, model, sfields, cycle='F',
+                             sslsolver='bicgstab', verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert np.all(np.isfinite(info['rel_error']))
+    assert np.all(info['rel_error'] < 5e-6)
+    for e in es:
+        assert np.all(np.isfinite(e.field))
