@@ -370,79 +370,63 @@ def get_source_field(grid, src, freq, strength=0, electric=True, length=1.0,
 def _finite_source_xyz(grid, src, s, xyz, decimals):
     """Distribute a finite dipole's xyz-component onto edge array ``s``.
 
-    Adjoint of trilinear interpolation of per-cell segment centers of
-    gravity (reference parity: emg3d/fields.py:914-1010); vectorized over
-    the (small) box of cells the segment traverses.
+    Vectorized: the segment is split at every node-plane crossing into
+    sub-segments (each inside exactly one cell); all sub-segment
+    midpoints are then scattered with trilinear-adjoint weights in four
+    ``np.add.at`` calls.  Behavior matches the reference's per-cell
+    center-of-gravity distribution (emg3d/fields.py:914-1010) by
+    construction — same sub-segments, same weights — without its
+    triple loop over the bounding box of cells.
     """
-    nodes_x = np.round(grid.nodes_x, decimals)
-    nodes_y = np.round(grid.nodes_y, decimals)
-    nodes_z = np.round(grid.nodes_z, decimals)
+    nodes = [np.round(grid.nodes_x, decimals),
+             np.round(grid.nodes_y, decimals),
+             np.round(grid.nodes_z, decimals)]
     src = np.round(src, decimals)
+    p0, p1 = src[::2], src[1::2]
 
-    outside = (src[0] < nodes_x[0] or src[1] > nodes_x[-1] or
-               src[2] < nodes_y[0] or src[3] > nodes_y[-1] or
-               src[4] < nodes_z[0] or src[5] > nodes_z[-1])
-    if outside:
-        raise ValueError(f"Provided source outside grid: {src}.")
+    for ax in range(3):
+        lo, hi = min(p0[ax], p1[ax]), max(p0[ax], p1[ax])
+        if lo < nodes[ax][0] or hi > nodes[ax][-1]:
+            raise ValueError(f"Provided source outside grid: {src}.")
 
-    d_xyz = src[1::2] - src[::2]
-    id_xyz = np.where(d_xyz != 0, 1 / np.where(d_xyz == 0, 1, d_xyz), 0.)
+    d = p1 - p0
 
-    # Normalized line parameter of every node plane along the segment.
-    a1 = (nodes_x - src[0]) * id_xyz[0]
-    a2 = (nodes_y - src[2]) * id_xyz[1]
-    a3 = (nodes_z - src[4]) * id_xyz[2]
+    # Breakpoints of the line parameter t in [0, 1]: segment ends plus
+    # every node-plane crossing of the non-degenerate axes.
+    ts = [np.array([0.0, 1.0])]
+    for ax in range(3):
+        if d[ax] != 0:
+            t = (nodes[ax] - p0[ax]) / d[ax]
+            ts.append(t[(t > 0) & (t < 1)])
+    t = np.unique(np.concatenate(ts))
+    dt = np.diff(t)                      # sub-segment length fractions
+    mid = p0 + (t[:-1] + dt / 2)[:, None] * d   # (nseg, 3) midpoints
 
-    def min_max_ind(vector, i):
-        vmin = min(src[2*i:2*i+2])
-        vmax = max(src[2*i:2*i+2])
-        return [max(0, int(np.searchsorted(vector, vmin, 'right')) - 1),
-                max(0, int(np.searchsorted(vector, vmax, 'right')) - 1)]
+    # Cell of each midpoint and normalized in-cell offsets.
+    idx, ofs = [], []
+    for ax in range(3):
+        i = np.clip(np.searchsorted(nodes[ax], mid[:, ax], 'right') - 1,
+                    0, len(nodes[ax]) - 2)
+        idx.append(i)
+        ofs.append((mid[:, ax] - nodes[ax][i]) / np.asarray(grid.h[ax])[i])
+    ix, iy, iz = idx
+    rx, ry, rz = ofs
 
-    rix = min_max_ind(nodes_x, 0)
-    riy = min_max_ind(nodes_y, 1)
-    riz = min_max_ind(nodes_z, 2)
-
-    slen = np.linalg.norm(src[1::2] - src[::2])
-
-    for iz in range(riz[0], min(riz[1] + 1, a3.size - 1)):
-        for iy in range(riy[0], min(riy[1] + 1, a2.size - 1)):
-            for ix in range(rix[0], min(rix[1] + 1, a1.size - 1)):
-                # In-cell sub-segment [al, ar] in line parameter.
-                aa = np.vstack([[a1[ix], a1[ix+1]], [a2[iy], a2[iy+1]],
-                                [a3[iz], a3[iz+1]]])
-                aa = np.sort(aa[d_xyz != 0, :], 1)
-                al = max(0, aa[:, 0].max())
-                ar = min(1, aa[:, 1].min())
-
-                xmin = src[::2] + al * d_xyz
-                xmax = src[::2] + ar * d_xyz
-                x_c = (xmin + xmax) / 2.0
-                x_len = np.linalg.norm(xmax - xmin) / slen
-
-                rx = (x_c[0] - nodes_x[ix]) / grid.h[0][ix]
-                ex = 1 - rx
-                ry = (x_c[1] - nodes_y[iy]) / grid.h[1][iy]
-                ey = 1 - ry
-                rz = (x_c[2] - nodes_z[iz]) / grid.h[2][iz]
-                ez = 1 - rz
-
-                if min(rx, ry, rz) >= 0 and np.max(np.abs(ar - al)) > 0:
-                    if xyz == 0:
-                        s[ix, iy, iz] += ey*ez*x_len
-                        s[ix, iy+1, iz] += ry*ez*x_len
-                        s[ix, iy, iz+1] += ey*rz*x_len
-                        s[ix, iy+1, iz+1] += ry*rz*x_len
-                    elif xyz == 1:
-                        s[ix, iy, iz] += ex*ez*x_len
-                        s[ix+1, iy, iz] += rx*ez*x_len
-                        s[ix, iy, iz+1] += ex*rz*x_len
-                        s[ix+1, iy, iz+1] += rx*rz*x_len
-                    else:
-                        s[ix, iy, iz] += ex*ey*x_len
-                        s[ix+1, iy, iz] += rx*ey*x_len
-                        s[ix, iy+1, iz] += ex*ry*x_len
-                        s[ix+1, iy+1, iz] += rx*ry*x_len
+    # Trilinear-adjoint scatter in the plane transverse to the edge
+    # direction; the along-edge index takes the full weight.
+    if xyz == 0:
+        ja, jb, ra, rb = iy, iz, ry, rz
+        at = lambda da, db: (ix, iy + da, iz + db)
+    elif xyz == 1:
+        ja, jb, ra, rb = ix, iz, rx, rz
+        at = lambda da, db: (ix + da, iy, iz + db)
+    else:
+        ja, jb, ra, rb = ix, iy, rx, ry
+        at = lambda da, db: (ix + da, iy + db, iz)
+    np.add.at(s, at(0, 0), (1 - ra) * (1 - rb) * dt)
+    np.add.at(s, at(1, 0), ra * (1 - rb) * dt)
+    np.add.at(s, at(0, 1), (1 - ra) * rb * dt)
+    np.add.at(s, at(1, 1), ra * rb * dt)
 
     sum_s = abs(s.sum())
     if abs(sum_s - 1) > 1e-6:

@@ -37,7 +37,12 @@ def _known_classes():
     }
 
 
-KNOWN_CLASSES = property(_known_classes)
+def __getattr__(name):
+    # KNOWN_CLASSES is resolved lazily (PEP 562): surveys/simulations
+    # import io, so building the dict at import time would be circular.
+    if name == 'KNOWN_CLASSES':
+        return _known_classes()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def save(fname, **kwargs):

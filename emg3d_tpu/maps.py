@@ -238,12 +238,19 @@ def interp3d(points, values, new_points, method='cubic', fill_value=0.0,
         out = re + 1j * im
     elif method == 'linear':
         fv = np.nan if fill_value is None else fill_value
+        pts = np.asarray(new_points, dtype=float)
+        if mode == 'nearest':
+            # Nearest-style extrapolation of the linear interpolant:
+            # evaluate at the query clamped into the grid hull
+            # (reference maps.py:179-272; scipy's own extrapolation
+            # would be linear, not clamped).
+            pts = pts.copy()
+            for i, ax in enumerate(points):
+                pts[..., i] = np.clip(pts[..., i], ax[0], ax[-1])
         fn = sint.RegularGridInterpolator(
             points, values, method='linear', bounds_error=False,
             fill_value=None if mode == 'nearest' else fv)
-        out = fn(new_points)
-        if mode == 'nearest':
-            pass  # RegularGridInterpolator extrapolates linearly; clamp:
+        out = fn(pts)
     else:
         # Cubic via map_coordinates: transform physical coords to (frac)
         # index coordinates with 1-D interpolation per axis.

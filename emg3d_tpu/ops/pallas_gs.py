@@ -334,9 +334,9 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(len(seq), n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch_shapes,
     )
 

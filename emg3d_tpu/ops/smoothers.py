@@ -90,11 +90,13 @@ def _point_color_update(e, s, par, fact, color):
 
 def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
                        hx, hy, hz, nu):
-    """nu sweeps of red-black node-block Gauss-Seidel.
+    """nu sweeps of 8-color node-block Gauss-Seidel.
 
-    Each sweep updates both colors; the color order alternates between
-    sweeps (the multicolor analog of the reference's forward/backward
-    alternation, core.py:282-315).
+    Each sweep updates all eight colors; the color order alternates
+    between sweeps (the multicolor analog of the reference's
+    forward/backward alternation, core.py:282-315).  Note the default
+    nu is calibrated in :class:`emg3d_tpu.solver.MGParameters`: three
+    color-sweeps match two lexicographic sweeps in two-grid strength.
     """
     from jax import lax
 
@@ -108,16 +110,17 @@ def gauss_seidel_point(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
+    order = list(range(8))
+    seq = []
+    for it in range(nu):
+        seq.extend(order if it % 2 == 0 else order[::-1])
+
     # scan over (sweep, color): one traced color-update body instead of
     # 8·nu unrolled copies — compile time stays flat in nu.
-    def step(e, sc):
-        it, cidx = sc
-        color = jnp.where(it % 2 == 0, cidx, 7 - cidx)
+    def step(e, color):
         return _point_color_update(e, s, par, fact, color), None
 
-    its = jnp.repeat(jnp.arange(nu), 8)
-    cols = jnp.tile(jnp.arange(8), nu)
-    e, _ = lax.scan(step, e, (its, cols))
+    e, _ = lax.scan(step, e, jnp.asarray(seq))
     return e
 
 

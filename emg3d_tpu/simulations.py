@@ -717,43 +717,45 @@ def _deserialize_dict_of_fields(dct, survey):
 # ----------------------------------------------------------------------
 
 def expand_grid_model(grid, model, expand, interface):
-    """Expand grid+model up to the interface and add a 100 m air layer.
+    """Expand grid+model vertically: water up to ``interface``, then air.
 
-    Reference parity: emg3d/simulations.py:1216-1299.
+    Appends at most two layers on top of the grid: one from the
+    current grid top up to ``interface`` with property ``expand[0]``
+    (unless the top is already within 5 cm of it), and a 100 m layer
+    of ``expand[1]`` (air) unless the top already clears the interface
+    by more than 1 mm.  mu_r/epsilon_r continue with 1 in the added
+    layers.  Matches the reference's behavior
+    (emg3d/simulations.py:1216-1299).
     """
-    def extend_property(name, add_values, nadd):
-        prop = getattr(model, '_' + name)
-        if prop is None:
+    ztop = grid.nodes_z[-1]
+    added = []               # (thickness, property value), bottom->top
+    if ztop < interface - 0.05:
+        added.append((interface - ztop, expand[0]))
+    if ztop <= interface + 0.001:
+        added.append((100.0, expand[1]))
+    if not added:
+        return grid, model
+
+    grid = meshes.TensorMesh(
+        [grid.h[0], grid.h[1], np.r_[grid.h[2], [t for t, _ in added]]],
+        origin=grid.origin)
+
+    def stacked(name, values):
+        if getattr(model, '_' + name) is None:
             return None
-        nx, ny, nz = grid.shape_cells
-        prop_ext = np.zeros((nx, ny, nz + nadd))
-        prop_ext[:, :, :-nadd] = getattr(model, name)
-        if nadd == 2:
-            prop_ext[:, :, -2] = add_values[0]
-        prop_ext[:, :, -1] = add_values[1]
-        return prop_ext
+        cur = np.asarray(getattr(model, name))
+        layers = [np.full(cur.shape[:2] + (1,), float(v)) for v in values]
+        return np.concatenate([cur, *layers], axis=2)
 
-    nzadd = 0
-    hz_ext = grid.h[2]
-
-    if grid.nodes_z[-1] < interface - 0.05:
-        hz_ext = np.r_[hz_ext, interface - grid.nodes_z[-1]]
-        nzadd += 1
-    if grid.nodes_z[-1] <= interface + 0.001:
-        hz_ext = np.r_[hz_ext, 100]
-        nzadd += 1
-
-    if nzadd > 0:
-        property_x = extend_property('property_x', expand, nzadd)
-        property_y = extend_property('property_y', expand, nzadd)
-        property_z = extend_property('property_z', expand, nzadd)
-        mu_r = extend_property('mu_r', [1, 1], nzadd)
-        epsilon_r = extend_property('epsilon_r', [1, 1], nzadd)
-        grid = meshes.TensorMesh([grid.h[0], grid.h[1], hz_ext],
-                                 origin=grid.origin)
-        model = models.Model(grid, property_x, property_y, property_z,
-                             mu_r=mu_r, epsilon_r=epsilon_r,
-                             mapping=model.map.name)
+    ones = [1.0] * len(added)
+    model = models.Model(
+        grid,
+        stacked('property_x', [v for _, v in added]),
+        stacked('property_y', [v for _, v in added]),
+        stacked('property_z', [v for _, v in added]),
+        mu_r=stacked('mu_r', ones),
+        epsilon_r=stacked('epsilon_r', ones),
+        mapping=model.map.name)
     return grid, model
 
 

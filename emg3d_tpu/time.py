@@ -38,25 +38,27 @@ __all__ = ['Fourier', 'fftlog_transform', 'design_dlf_filter',
 # log-space to dodge the Γ-decay/cosh-growth overflow.
 
 def _logsin(w):
-    """Stable log(sin(w)) for complex w."""
+    """Stable log(sin(w)) for complex w; -inf at the zeros of sin."""
     iw = 1j * w
     pos = np.imag(w) <= 0
     e1 = np.exp(np.where(pos, -2 * iw, 0))
     e2 = np.exp(np.where(pos, 0, 2 * iw))
-    return np.where(pos,
-                    iw + np.log1p(-e1) - np.log(2j),
-                    -iw + np.log1p(-e2) - np.log(-2j))
+    with np.errstate(divide='ignore', invalid='ignore'):
+        return np.where(pos,
+                        iw + np.log1p(-e1) - np.log(2j),
+                        -iw + np.log1p(-e2) - np.log(-2j))
 
 
 def _logcos(w):
-    """Stable log(cos(w)) for complex w."""
+    """Stable log(cos(w)) for complex w; -inf at the zeros of cos."""
     iw = 1j * w
     pos = np.imag(w) <= 0
     e1 = np.exp(np.where(pos, -2 * iw, 0))
     e2 = np.exp(np.where(pos, 0, 2 * iw))
-    return np.where(pos,
-                    iw + np.log1p(e1) - np.log(2),
-                    -iw + np.log1p(e2) - np.log(2))
+    with np.errstate(divide='ignore', invalid='ignore'):
+        return np.where(pos,
+                        iw + np.log1p(e1) - np.log(2),
+                        -iw + np.log1p(e2) - np.log(2))
 
 
 def fftlog_transform(freq, fvals, time, kind='sin', c=0.5, pad=4):

@@ -41,6 +41,12 @@ class TestHomogeneousVTI:
                         return_info=True)
         assert info['exit_message'] == 'CONVERGED'
         assert info['rel_error'] < 1e-6
+        # Convergence-factor parity: the reference converges this case
+        # in 6 F-cycles (tests/test_solver.py:51-52 asserts ~0.034 and
+        # ~0.103 after cycles 1 and 2).  The calibrated multicolor
+        # smoother must stay within one cycle of that; this pins the
+        # per-cycle factor so it cannot silently regress.
+        assert info['it_mg'] <= 7
         assert _rel(e, golden) < 1e-5
 
     def test_vcycle(self, setup):
