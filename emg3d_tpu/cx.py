@@ -238,6 +238,10 @@ def pad(a, pads, **kw):
     return _map2(jnp.pad, a, pads, **kw)
 
 
+def reshape(a, shape):
+    return _map2(jnp.reshape, a, shape)
+
+
 def transpose(a, axes):
     return _map2(jnp.transpose, a, axes)
 

@@ -189,33 +189,74 @@ def _line_blocks_x(c, proto, nx):
     return D, B
 
 
-def _line_color_update_x(e, s, par, fact, B, color):
+def _parity_split(a, ny2, nz2, tail):
+    """(S, Ny, Nz, *tail) -> (S, 2, 2, ny2, nz2, *tail) by (y, z) parity.
+
+    Axis 1 is y-parity, axis 2 z-parity (Ny = 2*ny2, Nz = 2*nz2).
+    """
+    S = (a.re if isinstance(a, cx.C2) else a).shape[0]
+    a = cx.reshape(a, (S, ny2, 2, nz2, 2) + tail)
+    perm = (0, 2, 4, 1, 3) + tuple(5 + i for i in range(len(tail)))
+    return cx.transpose(a, perm)
+
+
+def _parity_join(a, ny2, nz2, tail):
+    """Inverse of :func:`_parity_split`."""
+    S = (a.re if isinstance(a, cx.C2) else a).shape[0]
+    perm = (0, 3, 1, 4, 2) + tuple(5 + i for i in range(len(tail)))
+    a = cx.transpose(a, perm)
+    return cx.reshape(a, (S, 2 * ny2, 2 * nz2) + tail)
+
+
+def _line_color_update_x(e, s, par, facts, Bp, color, nyz2):
+    """One color of the 4-color x-line update.
+
+    Lines need 4 colors (transverse (y, z) parity) — adjacent and
+    diagonal lines are coupled through the operator, so only full
+    transverse-parity separation yields a true multicolor block-GS
+    step.  Only the active color's quarter of lines is solved: the
+    factors arrive parity-decomposed ((S, 2, 2, ny2, nz2, ...)) and
+    ``color`` (traced scalar, cy + 2*cz) dynamically indexes them.
+    """
+    from jax import lax, tree_util
+
     ex, ey, ez = e
     rx, ry, rz = _residual(e, s, par)
+    ny2, nz2 = nyz2
+    nyn = rx.shape[1] - 2          # interior node counts
+    nzn = rx.shape[2] - 2
 
-    nx = ex.shape[0]
-    # Station residuals (nx, ny-1, nz-1, 5).
-    r0 = rx[:, 1:-1, 1:-1]
+    # Station residuals (nx, ny-1, nz-1, 5), zero-padded to even
+    # transverse extents for the parity reshape.
     pad = ((0, 1), (0, 0), (0, 0))
-    r1 = cx.pad(ry[1:-1, :-1, 1:-1], pad)
-    r2 = cx.pad(ry[1:-1, 1:, 1:-1], pad)
-    r3 = cx.pad(rz[1:-1, 1:-1, :-1], pad)
-    r4 = cx.pad(rz[1:-1, 1:-1, 1:], pad)
-    r = cx.stack([r0, r1, r2, r3, r4], axis=-1)
+    r = cx.stack([
+        rx[:, 1:-1, 1:-1],
+        cx.pad(ry[1:-1, :-1, 1:-1], pad),
+        cx.pad(ry[1:-1, 1:, 1:-1], pad),
+        cx.pad(rz[1:-1, 1:-1, :-1], pad),
+        cx.pad(rz[1:-1, 1:-1, 1:], pad),
+    ], axis=-1)
+    r = cx.pad(r, ((0, 0), (0, 2 * ny2 - nyn), (0, 2 * nz2 - nzn),
+                   (0, 0)))
+    rp = _parity_split(r, ny2, nz2, (5,))
 
-    delta = block_tridiag_solve_factored(*fact, B, r)
-
-    # Line color mask over (ny-1, nz-1): lines need 4 colors (y/z
-    # parity) — adjacent and diagonal lines are coupled through the
-    # operator, so only full transverse-parity separation yields a true
-    # multicolor block-GS step.  ``color`` is a (traced) scalar 0..3
-    # encoding (cy, cz); iy=j0+1, iz=k0+1.
     cy = color % 2
     cz = color // 2
-    jj = jnp.arange(r0.shape[1])[:, None]
-    kk = jnp.arange(r0.shape[2])[None, :]
-    mask = ((((jj + 1) % 2) == cy) & (((kk + 1) % 2) == cz))
-    dm = cx.where(mask[None, :, :, None], delta, 0)
+
+    def pick(t):
+        return tree_util.tree_map(
+            lambda x: lax.dynamic_index_in_dim(
+                lax.dynamic_index_in_dim(x, cy, axis=1, keepdims=False),
+                cz, axis=1, keepdims=False), t)
+
+    delta = block_tridiag_solve_factored(*pick(facts), pick(Bp),
+                                         pick(rp))
+
+    # Re-embed the quarter solution at its parity slot, back to full
+    # layout; the other parities stay zero, so the static scatter
+    # below adds nothing there (no mask needed).
+    full = cx.zeros_like(rp).at[:, cy, cz].set(delta)
+    dm = _parity_join(full, ny2, nz2, (5,))[:, :nyn, :nzn]
 
     ex = ex.at[:, 1:-1, 1:-1].add(dm[..., 0])
     ey = ey.at[1:-1, :-1, 1:-1].add(dm[:-1, ..., 1])
@@ -231,17 +272,43 @@ def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
-    D, B = _line_blocks_x(c, _proto(ex), ex.shape[0])
+    nx = ex.shape[0]
+    D, B = _line_blocks_x(c, _proto(ex), nx)
+
+    # Parity-decompose the stations so each color solves only its own
+    # quarter of the lines (the old path solved ALL lines every color
+    # step — 4x redundant Thomas work).  Transverse extents are padded
+    # to even with identity diagonal blocks (solutions there are zero
+    # and cropped).
+    nyn = ex.shape[1] - 2          # interior node counts (ny-1, nz-1)
+    nzn = ex.shape[2] - 2
+    ny2, nz2 = -(-nyn // 2), -(-nzn // 2)
+    pad_y, pad_z = 2 * ny2 - nyn, 2 * nz2 - nzn
+    D = cx.pad(D, ((0, 0), (0, pad_y), (0, pad_z), (0, 0), (0, 0)))
+    B = cx.pad(B, ((0, 0), (0, pad_y), (0, pad_z), (0, 0), (0, 0)))
+    if pad_y or pad_z:
+        jj = jnp.arange(2 * ny2)[:, None]
+        kk = jnp.arange(2 * nz2)[None, :]
+        padmask = ((jj >= nyn) | (kk >= nzn)).astype(D.re.dtype
+                                                     if isinstance(D, cx.C2)
+                                                     else D.dtype)
+        for a in range(5):
+            D = D.at[:, :, :, a, a].add(padmask[None])
+    Dp = _parity_split(D, ny2, nz2, (5, 5))
+    Bp = _parity_split(B, ny2, nz2, (5, 5))
+
     # Field-independent block-Thomas elimination: factor once per
-    # smoothing call, reuse across all 4*nu color updates.
-    fact = block_tridiag_factor(D, B)
+    # smoothing call (all 4 parities batched), reuse across all 4*nu
+    # color updates.
+    facts = block_tridiag_factor(Dp, Bp)
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
     def step(e, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
-        return _line_color_update_x(e, s, par, fact, B, color), None
+        return _line_color_update_x(e, s, par, facts, Bp, color,
+                                    (ny2, nz2)), None
 
     its = jnp.repeat(jnp.arange(nu), 4)
     cols = jnp.tile(jnp.arange(4), nu)

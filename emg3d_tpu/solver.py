@@ -642,24 +642,44 @@ def _level_mesh(lev, sharding):
     return mesh
 
 
+def _gs_info(it, level, cycmax, shape, norm):
+    """Debug line after a smoothing step (verb>4; reference format)."""
+    nx, ny, nz = shape
+    return (f"     {it:2} {level} {cycmax} [{nx:3}, {ny:3}, "
+            f"{nz:3}]: {norm:.3e} ")
+
+
 def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
-                 sharding=None, batch=False):
+                 sharding=None, batch=False, dbg=None):
     """Host-driven multigrid recursion over jitted pieces.
 
     Identical control flow to the reference's recursion
     (solver.py:478-604 incl. the F-cycle cycmax trick).  Levels at or
     below _FUSE_CELLS cells run as one fused jitted sub-tree.
+
+    ``dbg`` is the MGParameters instance when verb>4: each smoothing
+    step then fetches and logs its residual norm (debug only — the
+    fetches serialize the pipeline), and sub-tree fusion is disabled
+    so every step is observable.
     """
     (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
     lev = levels[lvl]
     nlevels = len(levels)
     mesh = _level_mesh(lev, sharding)
 
-    if lvl == nlevels - 1:
-        return _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
-                           lev.shape, mesh=mesh, batch=batch)
+    def report(it_, cycmax_, tag):
+        if dbg is not None:
+            nrm = residual_norm(e, s, lev.arrays)
+            dbg.cprint(_gs_info(it_, lvl, cycmax_, lev.shape, nrm)
+                       + tag, 4)
 
-    if lvl > 0 and mesh is None and \
+    if lvl == nlevels - 1:
+        e = _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
+                        lev.shape, mesh=mesh, batch=batch)
+        report(0, 1, "coarsest level")
+        return e
+
+    if lvl > 0 and mesh is None and dbg is None and \
             int(np.prod(lev.shape)) <= _FUSE_CELLS:
         fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf,
                           batch=batch)
@@ -680,15 +700,19 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
             lr_dir, lev.shape, mesh=mesh, batch=batch)
+        if nu_pre > 0:
+            report(it, cycmax_here, "pre-smoothing")
 
         ec = _mg_rec_host(ec, rc, levels, lvl + 1,
                           2 if cycle in ['F', 'W'] else 1,
                           cycmax_here - it, conf, sharding=sharding,
-                          batch=batch)
+                          batch=batch, dbg=dbg)
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
                                 lev.arrays, nu_post, lr_dir, lev.shape,
                                 mesh=mesh, batch=batch)
+        if nu_post > 0:
+            report(it, cycmax_here, "post-smoothing")
 
         it += 1
         if lvl == 0:
@@ -697,7 +721,7 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
 
 def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
-                  batch=False):
+                  batch=False, dbg=None):
     """One top-level MG cycle (host-driven, piecewise-jitted).
 
     With ``batch=True`` the field pytrees carry a leading source-batch
@@ -710,9 +734,13 @@ def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
                         levels[0].shape,
                         mesh=_level_mesh(levels[0], sharding),
                         batch=batch)
+        if dbg is not None:
+            nrm = residual_norm(e, s, levels[0].arrays)
+            dbg.cprint(_gs_info(0, 0, 1, levels[0].shape, nrm)
+                       + "initial smoothing", 4)
     return _mg_rec_host(e, s, levels, 0,
                         2 if conf[3] in ['F', 'W'] else 1, 0, conf,
-                        sharding=sharding, batch=batch)
+                        sharding=sharding, batch=batch, dbg=dbg)
 
 
 _CYCLE_CACHE = {}
@@ -859,7 +887,15 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     l2_last = residual_norm(e, s, fine.arrays)
     l2_stag = np.ones(var._maxcycle) * l2_last
 
-    lookahead = 2 if _pipelined_checks() else 1
+    dbg = var if var.verb > 4 else None
+    if dbg is not None:
+        var.cprint("     it cycmax               error", 4)
+        var.cprint("      level [  dimension  ]            info\n", 4)
+        var.cprint(_gs_info(0, 0, var.cycmax, fine.shape, l2_last)
+                   + "initial error", 4)
+
+    lookahead = 1 if dbg is not None else \
+        (2 if _pipelined_checks() else 1)
     pending = deque()
     it_disp = 0   # dispatched cycles
     it = 0        # checked cycles
@@ -873,10 +909,14 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                     int(var.lr_dir))
             levels = ctx.levels(int(var.sc_dir))
             nu_init = var.nu_init if first else 0
+            if first and var.verb > 3 and var._first_cycle:
+                _qc_levels(var._level_all, len(levels), 0,
+                           2 if var.cycle in ('F', 'W') else 1, 0,
+                           var.cycle)
             first = False
 
             e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
-                              sharding=ctx.sharding)
+                              sharding=ctx.sharding, dbg=dbg)
             r = _jit_residual(e, s, levels[0].arrays)
             pending.append((e, _norm(*r)))
             it_disp += 1
@@ -923,6 +963,56 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     return result
 
 
+def _qc_levels(out, nlevels, lvl, cycmax, new_cycmax, cycle):
+    """Replay the cycle's level visits for the QC graph.
+
+    Mirrors the recursion's control flow (incl. the F-cycle
+    ``cycmax - it`` trick); records a level at call entry and again
+    after every prolongation, like the reference (solver.py:496, 567).
+    """
+    out.append(lvl)
+    if lvl == nlevels - 1:
+        return
+    if lvl == 0 or new_cycmax == 0 or cycle != 'F':
+        cm = cycmax
+    else:
+        cm = new_cycmax
+    it = 0
+    while it < cm:
+        _qc_levels(out, nlevels, lvl + 1,
+                   2 if cycle in ('F', 'W') else 1, cm - it, cycle)
+        out.append(lvl)
+        it += 1
+        if lvl == 0:
+            break
+
+
+def _qc_graph(level_seq, width=70):
+    """ASCII rendering of the level trajectory (verb>3 QC figure).
+
+    One column per level transition; row r is grid 2^(r+1)h; a
+    descent to a coarser grid draws ``\\``, an ascent ``/``.
+    """
+    seq = np.asarray(level_seq, dtype=int)
+    if seq.size < 2:
+        return ""
+    frm, to = seq[:-1], seq[1:]
+    row = np.minimum(frm, to)
+    down = to > frm
+    ncol = min(len(row), width)
+    lines = ["       h_"]
+    for r in range(int(seq.max())):
+        marks = ''.join(
+            ('\\' if down[v] else '/') if row[v] == r and frm[v] != to[v]
+            else ' ' for v in range(ncol))
+        lines.append(f"   {2**(r+1):4}h_ {marks}")
+    out = "\n".join(lines) + "\n\n"
+    if len(row) > width:
+        out += (f"  (Cycle-QC restricted to first {width} steps of "
+                f"{len(row)} steps.)\n")
+    return out
+
+
 def _print_cycle_info(var, l2_last, l2_prev):
     """Per-cycle log line (reference parity: solver.py:1575-1648)."""
     if var.verb < 0:
@@ -930,13 +1020,19 @@ def _print_cycle_info(var, l2_last, l2_prev):
         return
     if var.verb < 3:
         return
-    if var._first_cycle and var.verb > 3:
-        var.cprint("\n", 3)
+    info = "\n" if var.verb > 4 else ""
+    if var._first_cycle:
+        if var.verb > 3 and var._level_all:
+            info += _qc_graph(var._level_all)
+        elif var.verb > 3:
+            info += "\n"
         var._first_cycle = False
-    info = f"   [{var.time.now}]   {l2_last/var.l2_refe:.3e} "
+    info += f"   [{var.time.now}]   {l2_last/var.l2_refe:.3e} "
     info += f"after {var.it:3} {var.cycle}-cycles; "
     info += f"[{l2_last:.3e}, {l2_last/max(l2_prev, 1e-300):.3f}]"
     info += f" {int(var.sc_dir)} {int(var.lr_dir)}"
+    if var.verb > 4:
+        info += "\n"
     var.cprint(info, 3)
 
 
