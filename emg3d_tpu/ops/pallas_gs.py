@@ -90,6 +90,80 @@ def enabled():
     return _ENABLED
 
 
+# --- global-coordinate shifts (value at index∓1, same shape).
+# Shared by the point kernel and ops.pallas_lr: pltpu.roll at any
+# shift is the ONLY Mosaic-legal neighbor access on the tiled
+# (sublane, lane) dims; garbage rolled in from padding is masked by
+# the consumers (padding is zero, so no Inf/NaN can propagate).
+
+def _r(a, sh, ax):
+    if isinstance(a, cx.C2):
+        return cx.C2(_r(a.re, sh, ax), _r(a.im, sh, ax))
+    return pltpu.roll(a, sh, ax)
+
+
+def _sz(a, ax):
+    return (a.re if isinstance(a, cx.C2) else a).shape[ax]
+
+
+def dnx(a):
+    return _r(a, 1, 0)
+
+
+def upx(a):
+    return _r(a, _sz(a, 0) - 1, 0)
+
+
+def dny(a):
+    return _r(a, 1, 1)
+
+
+def upy(a):
+    return _r(a, _sz(a, 1) - 1, 1)
+
+
+def dnz(a):
+    return _r(a, 1, 2)
+
+
+def upz(a):
+    return _r(a, _sz(a, 2) - 1, 2)
+
+
+def slab_residual(e, s, st, w, ih):
+    """Residual parts (rx, ry, rz) on VMEM slabs in global coordinates.
+
+    Fuses the ζ-weighted curl-curl stencil (reference core.py:406-474)
+    over whole slabs; entries are valid wherever the stencil support is
+    inside the slab/grid — callers mask the rest.
+    """
+    ex, ey, ez = e
+    sx, sy, sz = s
+    stx, sty, stz = st
+    wx, wy, wz = w
+    ihx, ihy, ihz = ih
+
+    # --- ζ-weighted curl on faces (global coords; garbage in pads).
+    v1 = (upy(ez) - ez) * ihy - (upz(ey) - ey) * ihz
+    v2 = (upz(ex) - ex) * ihz - (upx(ez) - ez) * ihx
+    v3 = (upx(ey) - ey) * ihx - (upy(ex) - ex) * ihy
+    u1 = v1 * wx
+    u2 = v2 * wy
+    u3 = v3 * wz
+
+    # --- residual r = s − A e at the edges (interior entries valid).
+    t3 = u3 * ihy
+    t2 = u2 * ihz
+    rx = sx - ((t3 - dny(t3)) - (t2 - dnz(t2))) * 0.5 + stx * ex * 0.25
+    t1z = u1 * ihz
+    s3 = u3 * ihx
+    ry = sy - ((t1z - dnz(t1z)) - (s3 - dnx(s3))) * 0.5 + sty * ey * 0.25
+    t1y = u1 * ihy
+    s2 = u2 * ihx
+    rz = sz - ((s2 - dnx(s2)) - (t1y - dny(t1y))) * 0.5 + stz * ez * 0.25
+    return rx, ry, rz
+
+
 def _kernel(colors_ref, *refs, tx, nx, nyz):
     """One (color-step, tile) unit of the fused smoother.
 
@@ -147,51 +221,9 @@ def _kernel(colors_ref, *refs, tx, nx, nyz):
     ihy = ihy_r[:]             # (1, Yp, 1)
     ihz = ihz_r[:]             # (1, 1, Zp)
 
-    # --- global-coordinate shifts (value at index∓1, same shape).
-    def _r(a, sh, ax):
-        if isinstance(a, cx.C2):
-            return cx.C2(_r(a.re, sh, ax), _r(a.im, sh, ax))
-        return pltpu.roll(a, sh, ax)
-
-    def _sz(a, ax):
-        return (a.re if isinstance(a, cx.C2) else a).shape[ax]
-
-    def dnx(a):
-        return _r(a, 1, 0)
-
-    def upx(a):
-        return _r(a, _sz(a, 0) - 1, 0)
-
-    def dny(a):
-        return _r(a, 1, 1)
-
-    def upy(a):
-        return _r(a, _sz(a, 1) - 1, 1)
-
-    def dnz(a):
-        return _r(a, 1, 2)
-
-    def upz(a):
-        return _r(a, _sz(a, 2) - 1, 2)
-
-    # --- ζ-weighted curl on faces (global coords; garbage in pads).
-    v1 = (upy(ez) - ez) * ihy - (upz(ey) - ey) * ihz
-    v2 = (upz(ex) - ex) * ihz - (upx(ez) - ez) * ihx
-    v3 = (upx(ey) - ey) * ihx - (upy(ex) - ex) * ihy
-    u1 = v1 * wx
-    u2 = v2 * wy
-    u3 = v3 * wz
-
-    # --- residual r = s − A e at the edges (interior entries valid).
-    t3 = u3 * ihy
-    t2 = u2 * ihz
-    rx = sx - ((t3 - dny(t3)) - (t2 - dnz(t2))) * 0.5 + stx * ex * 0.25
-    t1z = u1 * ihz
-    s3 = u3 * ihx
-    ry = sy - ((t1z - dnz(t1z)) - (s3 - dnx(s3))) * 0.5 + sty * ey * 0.25
-    t1y = u1 * ihy
-    s2 = u2 * ihx
-    rz = sz - ((s2 - dnx(s2)) - (t1y - dny(t1y))) * 0.5 + stz * ez * 0.25
+    rx, ry, rz = slab_residual((ex, ey, ez), (sx, sy, sz),
+                               (stx, sty, stz), (wx, wy, wz),
+                               (ihx, ihy, ihz))
 
     # --- residual at the six block edges of the node at (i, j, k).
     rb = [dnx(rx), rx, dny(ry), ry, dnz(rz), rz]
@@ -259,24 +291,26 @@ def _kernel(colors_ref, *refs, tx, nx, nyz):
     out_cp.wait()
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('nu', 'shape', 'interpret', '_seq',
-                                    '_tx'))
-def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
-                              interpret=False, _seq=None, _tx=None):
-    """nu sweeps of 8-color node-block GS as one fused Pallas call.
+def padded_dims(shape):
+    """(Yp, Zp, NXP) of the padded global-coordinate layout."""
+    nx, ny, nz = shape
+    Yp = -(-(ny + 1) // 8) * 8
+    Zp = -(-(nz + 1) // 128) * 128
+    return Yp, Zp, nx + 2
 
-    e, s : tuples of cx.C2 field components (split re/im, float32).
-    arrays : (eta_x, eta_y, eta_z, zeta, hx, hy, hz) — eta as C2.
-    shape : static cell shape (nx, ny, nz).
+
+def pack_state(e, s, arrays, shape):
+    """Embed fields + model parameters in the padded layout.
+
+    Returns (estack (6,·), pstack (15,·), ihx, ihy, ihz, (Yp, Zp, NXP)).
+    pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
+    styi, stzr, stzi, wx, wy, wz].  Shared by the point and line
+    kernels.
     """
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
     dt = e[0].re.dtype
-
-    Yp = -(-(ny + 1) // 8) * 8
-    Zp = -(-(nz + 1) // 128) * 128
-    NXP = nx + 2
+    Yp, Zp, NXP = padded_dims(shape)
 
     # Field-independent precomputation (XLA, once per smoothing call).
     stx_, sty_, stz_ = stencil.eta_edge_sums(eta_x, eta_y, eta_z)
@@ -304,6 +338,33 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
         1.0 / hy.astype(dt))
     ihz_p = jnp.zeros((1, 1, Zp), dt).at[0, 0, :nz].set(
         1.0 / hz.astype(dt))
+    return estack, pstack, ihx_p, ihy_p, ihz_p, (Yp, Zp, NXP)
+
+
+def unpack_efield(out, shapes):
+    """Crop the 6-plane padded e-stack back to C2 field components."""
+    def crop(r, sh3):
+        X, A, B = sh3
+        return cx.C2(out[r, :X, :A, :B], out[r + 1, :X, :A, :B])
+
+    return crop(0, shapes[0]), crop(2, shapes[1]), crop(4, shapes[2])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('nu', 'shape', 'interpret', '_seq',
+                                    '_tx'))
+def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
+                              interpret=False, _seq=None, _tx=None):
+    """nu sweeps of 8-color node-block GS as one fused Pallas call.
+
+    e, s : tuples of cx.C2 field components (split re/im, float32).
+    arrays : (eta_x, eta_y, eta_z, zeta, hx, hy, hz) — eta as C2.
+    shape : static cell shape (nx, ny, nz).
+    """
+    nx, ny, nz = shape
+    dt = e[0].re.dtype
+    (estack, pstack, ihx_p, ihy_p, ihz_p,
+     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape)
 
     # Color sequence with per-sweep order reversal.
     if _seq is not None:
@@ -351,9 +412,4 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(colors, estack, pstack, ihx_p, ihy_p, ihz_p)
 
-    def crop(r, sh3):
-        X, A, B = sh3
-        return cx.C2(out[r, :X, :A, :B], out[r + 1, :X, :A, :B])
-
-    return (crop(0, e[0].shape), crop(2, e[1].shape),
-            crop(4, e[2].shape))
+    return unpack_efield(out, (e[0].shape, e[1].shape, e[2].shape))

@@ -1,0 +1,516 @@
+"""Fused Pallas line-relaxation smoother (the production default path).
+
+The reference's production configuration runs line relaxation
+(/root/reference/emg3d/core.py:477-1316, >90% of runtime there); the
+XLA path (:mod:`emg3d_tpu.ops.smoothers`) expresses it as a batched
+block-Thomas `lax.scan`, which materializes the factor pytrees and
+many residual temporaries in HBM per color update.  This module is the
+TPU-hardware path: per 4-color update it runs exactly two fused
+kernels —
+
+- **Residual kernel** (x-tiled): the fused curl-curl residual of
+  :func:`emg3d_tpu.ops.pallas_gs.slab_residual`, written as a 6-plane
+  stack (rx, ry, rz as split re/im) in the padded global-coordinate
+  layout.  Each tile blends its owned x-rows into the (aliased)
+  output, so the stack stays valid across tiles and colors.
+
+- **Thomas kernel** (y-tiled, full-x): the block-tridiagonal
+  substitution along x for ALL lines of the slab, with the active
+  color's quarter selected by a transverse parity mask at the update
+  (inactive-lane flops are free on the VPU: the 128-lane z dimension
+  is processed regardless; see DESIGN.md).  The model-dependent
+  elimination is NOT redone here: the per-station LDLᵀ factors of the
+  eliminated diagonal blocks C_i and the sparse coupling blocks B_i
+  are precomputed once per (level, axis) by :func:`line_factors` and
+  *streamed* from HBM with double-buffered chunk DMAs — 46 planes per
+  station instead of the 80 of a dense-W formulation, because the
+  forward pass stores z_i = C_i^{-1} y_i and applies B sparsely:
+
+      y_i = r_i - B_i z_{i-1}          (B_0 = 0)
+      z_i = C_i^{-1} y_i               (LDLᵀ solve, streamed L/d)
+      δ_S = z_S;  δ_i = z_i - C_i^{-1} (B_{i+1}ᵀ δ_{i+1})
+
+  The x-scan is sequential but each station step is (TY, Zp)-wide VPU
+  work, so the pipeline stays busy; B_{i+1} crosses chunk boundaries
+  as a carried value.
+
+y/z-line variants run the x kernel in a cyclically rotated frame
+(exact symmetry of the Yee discretization), rotating on the XLA side.
+
+Split re/im (C2) float32 representation only — the TPU production
+path.  The XLA path remains for CPU/native-complex and batched runs.
+
+Reference parity: emg3d/core.py:477-753 (gauss_seidel_x/y/z).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cx
+from .blocksolve import block_tridiag_factor, ldl_solve_factored
+from .coeffs import node_coefficients
+from .pallas_gs import (pack_state, unpack_efield, padded_dims,
+                        slab_residual, _r)
+
+__all__ = ['line_relaxation_pallas', 'line_factors', 'supported']
+
+# Factor-stack plane order (indices into the NF=46 plane axis; each
+# entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
+# eliminated block C_i, d its inverse diagonal, B the sparse
+# sub-diagonal coupling blocks of the station system.
+_LORD = [(1, 0), (2, 0), (2, 1), (3, 0), (3, 1), (3, 2),
+         (4, 0), (4, 1), (4, 2), (4, 3)]
+_BORD = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 1), (2, 2), (3, 3), (4, 4)]
+_NF = 2 * (len(_LORD) + 5 + len(_BORD))      # 46
+
+
+def supported(e, shape):
+    """Pallas line path: C2 3-D fields, scan axis long enough to chunk."""
+    return (all(isinstance(c, cx.C2) for c in e)
+            and e[0].re.ndim == 3
+            and shape[0] >= 8 and shape[1] >= 3 and shape[2] >= 3)
+
+
+def supported_shape(shape, axis):
+    """Shape-only gate for lines along ``axis`` (rotated-frame dims)."""
+    rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
+    return rs[0] >= 8 and rs[1] >= 3 and rs[2] >= 3
+
+
+def _ri(v):
+    if isinstance(v, cx.C2):
+        return v.re, v.im
+    return jnp.real(v), jnp.imag(v)
+
+
+@functools.partial(jax.jit, static_argnames=('shape', 'axis'))
+def line_factors(arrays, shape, axis):
+    """Padded factor stack (S, 46, Yp, Zp) for lines along ``axis``.
+
+    Model-dependent only: computed once per (level, axis) per solve
+    and reused across all colors, sweeps and cycles.  For axis 1/2 the
+    stack is built in the rotated frame that
+    :func:`line_relaxation_pallas` runs the kernel in.
+    """
+    from .smoothers import _line_blocks_x, _rot_fwd, _rot_bwd
+
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    if axis == 1:
+        arrays = (_rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
+                  _rot_fwd(zeta), hy, hz, hx)
+        shape = (shape[1], shape[2], shape[0])
+    elif axis == 2:
+        arrays = (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
+                  _rot_bwd(zeta), hz, hx, hy)
+        shape = (shape[2], shape[0], shape[1])
+
+    nx, ny, nz = shape
+    c = node_coefficients(*arrays)
+    D, B = _line_blocks_x(c, arrays[0], nx)
+    factsL, factsd, _ = block_tridiag_factor(D, B)
+
+    Yp, Zp, _ = padded_dims(shape)
+    dt = cx.real_dtype_of(arrays[0])
+
+    def pad(a):
+        return jnp.zeros((nx, Yp, Zp), dt).at[
+            :, 1:ny, 1:nz].set(a.astype(dt))
+
+    planes = []
+    for (i, j) in _LORD:
+        re, im = _ri(factsL[..., i, j])
+        planes += [pad(re), pad(im)]
+    for i in range(5):
+        re, im = _ri(factsd[..., i])
+        planes += [pad(re), pad(im)]
+    for (i, j) in _BORD:
+        re, im = _ri(cx.broadcast_to(B[..., i, j], D.shape[:-2]))
+        planes += [pad(re), pad(im)]
+    return jnp.stack(planes, axis=1)    # (nx, 46, Yp, Zp)
+
+
+# ----------------------------------------------------------------------
+# Kernel 1: residual stack
+# ----------------------------------------------------------------------
+
+def _kernel_res(*refs, tx, nx):
+    """One x-tile of the residual stack (rx, ry, rz -> 6 planes).
+
+    Owned output rows [own_lo, own_hi) ⊆ [0, nx) are blended into the
+    loaded (aliased) stack; everything else keeps its previous value,
+    so rows ≥ nx stay at their initial zeros (the Thomas kernel relies
+    on that for the last station's transverse slots).
+    """
+    p_hbm, ihx_hbm = refs[1], refs[2]
+    ihy_r, ihz_r = refs[3], refs[4]
+    e_hbm = refs[0]
+    r_out = refs[6]
+    es, ps, ihxs, rs = refs[7], refs[8], refs[9], refs[10]
+    sems = refs[11]
+
+    XL = tx + 2
+    NXP = nx + 2
+    tile = pl.program_id(0)
+    own_lo = tile * tx
+    own_hi = jnp.minimum(own_lo + tx, nx)
+    x0 = jnp.clip(own_lo - 1, 0, NXP - XL)
+
+    cps = [
+        pltpu.make_async_copy(e_hbm.at[:, pl.ds(x0, XL)], es, sems.at[0]),
+        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps, sems.at[1]),
+        pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
+                              sems.at[2]),
+        pltpu.make_async_copy(r_out.at[:, pl.ds(x0, XL)], rs, sems.at[3]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def E(i):
+        return cx.C2(es[i], es[i + 1])
+
+    def P(i):
+        return cx.C2(ps[i], ps[i + 1])
+
+    rx, ry, rz = slab_residual(
+        (E(0), E(2), E(4)), (P(0), P(2), P(4)), (P(6), P(8), P(10)),
+        (ps[12], ps[13], ps[14]), (ihxs[:], ihy_r[:], ihz_r[:]))
+
+    sh = rx.re.shape
+    gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
+    own = (gx >= own_lo) & (gx < own_hi)
+    for i, a in ((0, rx), (2, ry), (4, rz)):
+        rs[i] = jnp.where(own, a.re, rs[i])
+        rs[i + 1] = jnp.where(own, a.im, rs[i + 1])
+
+    out_cp = pltpu.make_async_copy(rs, r_out.at[:, pl.ds(x0, XL)],
+                                   sems.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
+# ----------------------------------------------------------------------
+# Kernel 2: block-Thomas substitution + masked color update
+# ----------------------------------------------------------------------
+
+def _dn0(a):
+    return _r(a, 1, 0)
+
+
+def _up0(a):
+    return _r(a, (a.re if isinstance(a, cx.C2) else a).shape[0] - 1, 0)
+
+
+def _dn1(a):
+    return _r(a, 1, 1)
+
+
+def _up1(a):
+    return _r(a, (a.re if isinstance(a, cx.C2) else a).shape[1] - 1, 1)
+
+
+def _kernel_thomas(color_ref, *refs, nx, nyz, ty, chx, nch):
+    """One y-tile: full-x substitution for every line, masked update.
+
+    refs: HBM inputs [rstack, fstack, estack(aliased)], output estack,
+    scratch [es, rs, zs, fbuf, sems, fsems].
+    """
+    ny, nz = nyz
+    r_hbm, f_hbm = refs[0], refs[1]
+    e_out = refs[3]
+    es, rs, zs, fbuf = refs[4], refs[5], refs[6], refs[7]
+    sems, fsems = refs[8], refs[9]
+
+    TY = ty
+    to = TY - 2
+    tile = pl.program_id(0)
+    Yp = e_out.shape[2]
+    ly = 1 + tile * to                      # first owned line
+    lhi = jnp.minimum(ly + to, ny)          # one past last owned line
+    y0 = jnp.clip(tile * to, 0, Yp - TY)
+
+    cps = [
+        pltpu.make_async_copy(e_out.at[:, :, pl.ds(y0, TY)], es,
+                              sems.at[0]),
+        pltpu.make_async_copy(r_hbm.at[:, :, pl.ds(y0, TY)], rs,
+                              sems.at[1]),
+    ]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    def get_fdma(slot, c):
+        c0 = jnp.clip(c * chx, 0, nx - chx)
+        return pltpu.make_async_copy(
+            f_hbm.at[pl.ds(c0, chx), :, pl.ds(y0, TY)],
+            fbuf.at[slot], fsems.at[slot])
+
+    def F(slot, li, p):
+        return cx.C2(fbuf[slot, li, 2 * p], fbuf[slot, li, 2 * p + 1])
+
+    def Ldict(slot, li):
+        L = {}
+        for n, (i, j) in enumerate(_LORD):
+            L[(i, j)] = F(slot, li, n)
+        dinv = [F(slot, li, 10 + i) for i in range(5)]
+        return L, dinv
+
+    def Bent(slot, li, n):
+        return F(slot, li, 15 + n)
+
+    def station_r(i):
+        rxs = cx.C2(rs[0, i], rs[1, i])
+        rys = cx.C2(rs[2, i + 1], rs[3, i + 1])
+        rzs = cx.C2(rs[4, i + 1], rs[5, i + 1])
+        return (rxs, _dn0(rys), rys, _dn1(rzs), rzs)
+
+    zeros2 = jnp.zeros((TY, es.shape[3]), es.dtype)
+
+    def c2z():
+        return cx.C2(zeros2, zeros2)
+
+    # ---------------- forward: y_i = r_i − B_i z_{i-1}; z_i = C⁻¹y.
+    get_fdma(0, 0).start()
+
+    def fwd_chunk(c, zprev):
+        @pl.when(c + 1 < nch)
+        def _():
+            get_fdma((c + 1) % 2, c + 1).start()
+        get_fdma(c % 2, c).wait()
+        slot = c % 2
+        c0 = jnp.clip(c * chx, 0, nx - chx)
+        cnt = jnp.minimum(chx, nx - c * chx)
+
+        def fwd_station(k, zp):
+            i = c * chx + k
+            li = i - c0
+            r = station_r(i)
+            y = [r[0] - (Bent(slot, li, 0) * zp[1] +
+                         Bent(slot, li, 1) * zp[2] +
+                         Bent(slot, li, 2) * zp[3] +
+                         Bent(slot, li, 3) * zp[4])]
+            for m in range(1, 5):
+                y.append(r[m] - Bent(slot, li, 3 + m) * zp[m])
+            L, dinv = Ldict(slot, li)
+            z = ldl_solve_factored(5, L, dinv, y)
+            for m in range(5):
+                zs[2 * m, i] = z[m].re
+                zs[2 * m + 1, i] = z[m].im
+            return tuple(z)
+
+        return lax.fori_loop(0, cnt, fwd_station, zprev)
+
+    lax.fori_loop(0, nch, fwd_chunk, tuple(c2z() for _ in range(5)))
+
+    # ---------------- masks (per-tile constants).
+    color = color_ref[0]
+    cy = color % 2
+    cz = color // 2
+    gy = y0 + jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 0)
+    gz = jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 1)
+    # Line (iy, iz) active iff its transverse parity matches the color
+    # ((iy-1) % 2 == cy etc. — the XLA path's parity-split convention)
+    # and the line is interior and owned by this tile.
+    mask = (((gy + 1) % 2 == cy) & ((gz + 1) % 2 == cz) &
+            (gy >= ly) & (gy < lhi) & (gz >= 1) & (gz <= nz - 1))
+
+    # ---------------- backward: δ_i = z_i − C⁻¹(B_{i+1}ᵀ δ_{i+1}),
+    # with the e-update applied immediately per station.
+    get_fdma((nch - 1) % 2, nch - 1).start()
+
+    def bwd_chunk(cc, carry):
+        c = nch - 1 - cc
+        @pl.when(c - 1 >= 0)
+        def _():
+            get_fdma((c - 1) % 2, c - 1).start()
+        get_fdma(c % 2, c).wait()
+        slot = c % 2
+        c0 = jnp.clip(c * chx, 0, nx - chx)
+        hi = jnp.minimum(c * chx + chx, nx)
+        cnt = hi - c * chx
+
+        def bwd_station(k, carry):
+            dprev, Bn = carry
+            i = hi - 1 - k
+            li = i - c0
+            # u = B_{i+1}ᵀ δ_{i+1} (carried; zero at the last
+            # station); Bᵀ row 0 is zero ((Bᵀ)_{0k} = B_{k0} = 0).
+            u = [c2z(),
+                 Bn[0] * dprev[0] + Bn[4] * dprev[1],
+                 Bn[1] * dprev[0] + Bn[5] * dprev[2],
+                 Bn[2] * dprev[0] + Bn[6] * dprev[3],
+                 Bn[3] * dprev[0] + Bn[7] * dprev[4]]
+            L, dinv = Ldict(slot, li)
+            cu = ldl_solve_factored(5, L, dinv, u)
+            z = [cx.C2(zs[2 * m, i], zs[2 * m + 1, i]) for m in range(5)]
+            d = [z[m] - cu[m] for m in range(5)]
+
+            dm = [cx.where(mask, v, 0) for v in d]
+            es[0, i] = es[0, i] + dm[0].re
+            es[1, i] = es[1, i] + dm[0].im
+            ey_new = (cx.C2(es[2, i + 1], es[3, i + 1])
+                      + _up0(dm[1]) + dm[2])
+            es[2, i + 1] = ey_new.re
+            es[3, i + 1] = ey_new.im
+            ez_new = (cx.C2(es[4, i + 1], es[5, i + 1])
+                      + _up1(dm[3]) + dm[4])
+            es[4, i + 1] = ez_new.re
+            es[5, i + 1] = ez_new.im
+
+            Bnew = tuple(Bent(slot, li, n) for n in range(8))
+            return tuple(d), Bnew
+
+        return lax.fori_loop(0, cnt, bwd_station, carry)
+
+    lax.fori_loop(0, nch, bwd_chunk,
+                  (tuple(c2z() for _ in range(5)),
+                   tuple(c2z() for _ in range(8))))
+
+    out_cp = pltpu.make_async_copy(es, e_out.at[:, :, pl.ds(y0, TY)],
+                                   sems.at[0])
+    out_cp.start()
+    out_cp.wait()
+
+
+# ----------------------------------------------------------------------
+# Orchestration
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=('nu', 'shape', 'interpret', '_tx',
+                                    '_ty', '_chx'))
+def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, interpret=False,
+                      _tx=None, _ty=None, _chx=None):
+    """nu sweeps of 4-color x-line relaxation as fused Pallas steps."""
+    nx, ny, nz = shape
+    dt = e[0].re.dtype
+    (estack, pstack, ihx_p, ihy_p, ihz_p,
+     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape)
+    if fstack is None:
+        fstack = line_factors(arrays, shape, 0)
+    rstack = jnp.zeros((6, NXP, Yp, Zp), dt)
+
+    # Tile sizes: residual x-slabs like the point kernel; Thomas
+    # y-slabs sized so es+rs+zs+2 factor chunks stay in VMEM.
+    # Divisor 44 ≈ 27 scratch planes + ~17 live slab_residual
+    # temporaries per x-row: measured on v5e — 28 (tx=14 at 64³)
+    # overflows the 16M scoped-vmem stack by 2M.
+    plane = Yp * Zp * 4
+    tx = _tx if _tx is not None else min(nx, max(2, (14 << 20)
+                                                 // (44 * plane)))
+    tx = max(1, min(tx, nx))
+    ntx = -(-nx // tx)
+
+    ty = _ty if _ty is not None else 8
+    ty = min(ty, Yp)
+    to = ty - 2
+    nyt = max(1, -(-(ny - 1) // to))
+    chx = _chx if _chx is not None else min(8, nx)
+    nch = -(-nx // chx)
+
+    seq = []
+    for it in range(nu):
+        seq.extend(range(4) if it % 2 == 0 else range(3, -1, -1))
+
+    res_call = pl.pallas_call(
+        functools.partial(_kernel_res, tx=tx, nx=nx),
+        grid=(ntx,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +
+                 [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
+        scratch_shapes=[
+            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
+            pltpu.VMEM((15, tx + 2, Yp, Zp), dt),
+            pltpu.VMEM((tx + 2, 1, Zp), dt),
+            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    thomas_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nyt,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((6, NXP, ty, Zp), dt),
+            pltpu.VMEM((6, NXP, ty, Zp), dt),
+            pltpu.VMEM((10, nx, ty, Zp), dt),
+            pltpu.VMEM((2, chx, _NF, ty, Zp), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    thomas_call = pl.pallas_call(
+        functools.partial(_kernel_thomas, nx=nx, nyz=(ny, nz), ty=ty,
+                          chx=chx, nch=nch),
+        grid_spec=thomas_grid,
+        out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    def body(carry, color):
+        estack, rstack = carry
+        rstack = res_call(estack, pstack, ihx_p, ihy_p, ihz_p, rstack)
+        estack = thomas_call(color[None], rstack, fstack, estack)
+        return (estack, rstack), None
+
+    (estack, _), _ = lax.scan(body, (estack, rstack),
+                              jnp.asarray(np.array(seq, np.int32)))
+    return unpack_efield(estack, (e[0].shape, e[1].shape, e[2].shape))
+
+
+def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,
+                           interpret=None, **tune):
+    """nu sweeps of 4-color line relaxation along ``axis`` (0/1/2).
+
+    The y/z variants run the x kernel in a cyclically rotated frame
+    (exact Yee symmetry, like :func:`smoothers.line_relaxation`);
+    ``fstack`` must then be built by :func:`line_factors` for the SAME
+    axis (it is computed in the rotated frame there).  ``interpret``
+    defaults to the Pallas interpreter off-TPU (CPU test coverage of
+    the solver dispatch) and to hardware lowering on TPU.
+    """
+    from .smoothers import _rot_fwd, _rot_bwd
+
+    if interpret is None:
+        interpret = jax.default_backend() != 'tpu'
+
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    if axis == 0:
+        return _gs_line_x_pallas(tuple(e), tuple(s), tuple(arrays),
+                                 fstack, nu, shape,
+                                 interpret=interpret, **tune)
+    if axis == 1:
+        ee = (_rot_fwd(e[1]), _rot_fwd(e[2]), _rot_fwd(e[0]))
+        ss = (_rot_fwd(s[1]), _rot_fwd(s[2]), _rot_fwd(s[0]))
+        ar = (_rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
+              _rot_fwd(zeta), hy, hz, hx)
+        out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
+                                (shape[1], shape[2], shape[0]),
+                                interpret=interpret, **tune)
+        return (_rot_bwd(out[2]), _rot_bwd(out[0]), _rot_bwd(out[1]))
+    if axis == 2:
+        ee = (_rot_bwd(e[2]), _rot_bwd(e[0]), _rot_bwd(e[1]))
+        ss = (_rot_bwd(s[2]), _rot_bwd(s[0]), _rot_bwd(s[1]))
+        ar = (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
+              _rot_bwd(zeta), hz, hx, hy)
+        out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
+                                (shape[2], shape[0], shape[1]),
+                                interpret=interpret, **tune)
+        return (_rot_fwd(out[1]), _rot_fwd(out[2]), _rot_fwd(out[0]))
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
