@@ -316,7 +316,7 @@ class _Level:
     """Per-level data: model parameters, widths, transfer weights."""
 
     __slots__ = ('shape', 'arrays', 'coarsen', 'rweights', 'pweights',
-                 'nodes', 'h_np')
+                 'nodes', 'h_np', 'fstacks')
 
     def __init__(self, shape, arrays, h_np, nodes):
         self.shape = shape          # cell shape
@@ -326,6 +326,7 @@ class _Level:
         self.coarsen = None
         self.rweights = None
         self.pweights = None
+        self.fstacks = {}           # axis -> Pallas line-factor stack
 
 
 def use_split_complex():
@@ -424,19 +425,44 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
 # The jitted MG cycle
 # ======================================================================
 
-def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True):
-    """Smoothing dispatch (reference parity: solver.py:738-799)."""
+def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
+            fstacks=None, mesh=None):
+    """Smoothing dispatch (reference parity: solver.py:738-799).
+
+    ``fstacks`` is an optional 3-tuple of precomputed line-factor
+    stacks (one per axis, None where absent): when present for an
+    axis, line relaxation along it runs the fused Pallas kernel with
+    streamed factors (the factors are model-dependent only, so the
+    host computes them once per (level, axis) per solve).
+
+    ``mesh`` routes point smoothing through the explicit shard_map
+    halo pipeline when the level is distributed over a 1-D z mesh.
+    """
     if nu <= 0:
         return e
     lr = _current_lr_dir(lr_dir, shape)
     if lr == 0:
+        if mesh is not None:
+            from .parallel import shmap
+            if shmap.supported_mesh(mesh, shape):
+                return shmap.gauss_seidel_point_shmap(
+                    tuple(e), tuple(s), tuple(arrays), nu=nu,
+                    shape=shape, mesh=mesh)
         from .ops import pallas_gs
         if pallas_ok and pallas_gs.enabled() and pallas_gs.supported(e):
             return pallas_gs.gauss_seidel_point_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
-        e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu, axis=ax)
+        fs = fstacks[ax] if (pallas_ok and fstacks is not None) else None
+        if fs is not None:
+            from .ops import pallas_lr
+            e = pallas_lr.line_relaxation_pallas(
+                tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
+                axis=ax, fstack=fs)
+        else:
+            e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
+                                          axis=ax)
     return e
 
 
@@ -527,32 +553,60 @@ def _constrain(x, mesh):
     return constrain(x, mesh)
 
 
+def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
+    """Line-factor stacks for the Pallas path (None when inapplicable).
+
+    Lazily computed once per (level, axis) and cached on the level —
+    the factors are model-dependent only, so they are shared across
+    all colors, sweeps, cycles and solves on this hierarchy.
+    """
+    if mesh is not None or batch:
+        return None
+    from .ops import pallas_gs, pallas_lr
+    if not (pallas_gs.enabled() and isinstance(lev.arrays[0], cx.C2)):
+        return None
+    lr = _current_lr_dir(lr_dir, lev.shape)
+    if lr == 0:
+        return None
+    out = [None, None, None]
+    any_ax = False
+    for ax in _lr_axes(lr):
+        if not pallas_lr.supported_shape(lev.shape, ax):
+            continue
+        if ax not in lev.fstacks:
+            lev.fstacks[ax] = pallas_lr.line_factors(
+                lev.arrays, lev.shape, ax)
+        out[ax] = lev.fstacks[ax]
+        any_ax = True
+    return tuple(out) if any_ax else None
+
+
 @_partial(jax.jit,
           static_argnames=('nu', 'lr_dir', 'shape', 'mesh', 'batch'))
 def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
-                batch=False):
+                batch=False, fstacks=None):
     if batch:
         return jax.vmap(lambda e_, s_: _smooth(
             e_, s_, arrays, nu, lr_dir, shape, pallas_ok=False))(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape,
-                   pallas_ok=mesh is None)
+                   pallas_ok=mesh is None, fstacks=fstacks, mesh=mesh)
 
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape',
                            'mesh', 'batch'))
 def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
-                       shape, mesh=None, batch=False):
+                       shape, mesh=None, batch=False, fstacks=None):
     """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
 
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
     cycle body, solver.py:542-556).
     """
-    def body(e_, s_, pallas_ok=True):
+    def body(e_, s_, pallas_ok=True, mesh_=None):
         e_ = _smooth(e_, s_, arrays, nu_pre, lr_dir, shape,
-                     pallas_ok=pallas_ok)
+                     pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
         r = _residual_e(e_, s_, arrays)
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
@@ -563,27 +617,28 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
         return jax.vmap(lambda e_, s_: body(e_, s_, False))(e, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    return body(e, s, mesh is None)
+    return body(e, s, mesh is None, mesh)
 
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape',
                            'mesh', 'batch'))
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
-                        lr_dir, shape, mesh=None, batch=False):
+                        lr_dir, shape, mesh=None, batch=False,
+                        fstacks=None):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
-    def body(e_, ec_, s_, pallas_ok=True):
+    def body(e_, ec_, s_, pallas_ok=True, mesh_=None):
         e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
         e_ = stencil.pec_mask_apply(*e_)
         return _smooth(e_, s_, arrays, nu_post, lr_dir, shape,
-                       pallas_ok=pallas_ok)
+                       pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
 
     if batch:
         return jax.vmap(lambda e_, ec_, s_: body(e_, ec_, s_,
                                                  False))(e, ec, s)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
-    return body(e, ec, s, mesh is None)
+    return body(e, ec, s, mesh is None, mesh)
 
 
 # Coarse sub-trees at or below this many cells are fused into a single
@@ -675,7 +730,8 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
     if lvl == nlevels - 1:
         e = _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
-                        lev.shape, mesh=mesh, batch=batch)
+                        lev.shape, mesh=mesh, batch=batch,
+                        fstacks=_level_fstacks(lev, lr_dir, mesh, batch))
         report(0, 1, "coarsest level")
         return e
 
@@ -696,10 +752,11 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
         cycmax_here = new_cycmax
 
     it = 0
+    fstacks = _level_fstacks(lev, lr_dir, mesh, batch)
     while it < cycmax_here:
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
-            lr_dir, lev.shape, mesh=mesh, batch=batch)
+            lr_dir, lev.shape, mesh=mesh, batch=batch, fstacks=fstacks)
         if nu_pre > 0:
             report(it, cycmax_here, "pre-smoothing")
 
@@ -710,7 +767,7 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
                                 lev.arrays, nu_post, lr_dir, lev.shape,
-                                mesh=mesh, batch=batch)
+                                mesh=mesh, batch=batch, fstacks=fstacks)
         if nu_post > 0:
             report(it, cycmax_here, "post-smoothing")
 
@@ -730,10 +787,11 @@ def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
     process-pool fan-out, simulations.py:862-867).
     """
     if nu_init > 0:
+        mesh0 = _level_mesh(levels[0], sharding)
         e = _smooth_jit(e, s, levels[0].arrays, nu_init, conf[4],
-                        levels[0].shape,
-                        mesh=_level_mesh(levels[0], sharding),
-                        batch=batch)
+                        levels[0].shape, mesh=mesh0, batch=batch,
+                        fstacks=_level_fstacks(levels[0], conf[4],
+                                               mesh0, batch))
         if dbg is not None:
             nrm = residual_norm(e, s, levels[0].arrays)
             dbg.cprint(_gs_info(0, 0, 1, levels[0].shape, nrm)
@@ -837,6 +895,7 @@ class _SolveContext:
                            (efield.fx, efield.fy, efield.fz))
             self.dtype = self.s[0].dtype
         self.sharding = _normalize_sharding(sharding)
+        self.e_lo = None      # two-float lo stream of the solution
         self._levels = {}
 
     def levels(self, sc_dir):
@@ -871,11 +930,69 @@ def _pipelined_checks():
     return jax.default_backend() != 'cpu'
 
 
+@jax.jit
+def _ds_residual(ehi, elo, s, arrays):
+    """r = s − A·(ehi + elo) in double-single arithmetic.
+
+    Evaluating the matvec in plain f32 leaves ~2⁻²⁴·‖s‖ of rounding
+    noise in the residual, which floors both the convergence check and
+    the correction-form source at 1-10× a 1e-6 tolerance (measured).
+    :func:`ops.dsres.residual_ds` pushes the evaluation noise to
+    ~2⁻⁴⁸·‖s‖ with error-free transformations on the same operator.
+    """
+    from .ops.dsres import residual_ds
+    return residual_ds(ehi, elo, s, arrays)
+
+
+@jax.jit
+def _ds_accumulate(ehi, elo, delta):
+    """(ehi, elo) += delta with an exact (Knuth) two-sum per element.
+
+    The hi stream stays a faithful f32 rounding of the accumulated
+    solution; the lo stream carries the rounding remainders, pushing
+    the representable solution accuracy to ~f32^2 — the storage floor
+    measured in CLAUDE.md item 2 (the residual floor was the f32
+    representation of e, not residual evaluation).
+    """
+    def two(a, b):
+        s_ = a + b
+        bp = s_ - a
+        ap = s_ - bp
+        return s_, (a - ap) + (b - bp)
+
+    out_hi, out_lo = [], []
+    for h, l, d in zip(ehi, elo, delta):
+        if cx.is_c2(h):
+            hr, lr = two(h.re, d.re + l.re)
+            hi_, li_ = two(h.im, d.im + l.im)
+            out_hi.append(cx.C2(hr, hi_))
+            out_lo.append(cx.C2(lr, li_))
+        else:
+            hh, ll = two(h, d + l)
+            out_hi.append(hh)
+            out_lo.append(ll)
+    return tuple(out_hi), tuple(out_lo)
+
+
+def _ds_wanted(e, var):
+    """Two-float accumulation applies: f32 storage and a tol below the
+    single-float solution-representation floor (~2e-6 relative)."""
+    return (cx.real_dtype_of(e[0]) == jnp.float32
+            and float(var.tol) < 2e-5)
+
+
 def multigrid(ctx, var, e=None, s=None, track=True):
     """Run MG cycles with the reference's termination logic.
 
     If ``e``/``s`` are given, runs on those fields (used as Krylov
     preconditioner); else on ctx.e/ctx.s (stand-alone, stores back).
+
+    Stand-alone f32 solves switch to two-float (hi, lo) solution
+    storage once the error nears the f32 representation floor: each
+    further cycle runs in correction form (δ = MG(0, r)) and
+    accumulates δ with a compensated two-sum, with the convergence
+    residual evaluated as (s − A·hi) − A·lo.  This reaches the
+    reference's default tol=1e-6 with float32 fields.
     """
     from collections import deque
 
@@ -900,7 +1017,10 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     it_disp = 0   # dispatched cycles
     it = 0        # checked cycles
     first = True
-    result = e
+    elo = None    # two-float lo stream (activated near the f32 floor)
+    rds = None
+    ds_tau = max(100.0 * float(var.tol), 1e-5)
+    result = (e, None)
 
     while True:
         # Dispatch cycles (up to `lookahead` in flight, up to maxit).
@@ -915,10 +1035,19 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                            var.cycle)
             first = False
 
-            e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
-                              sharding=ctx.sharding, dbg=dbg)
-            r = _jit_residual(e, s, levels[0].arrays)
-            pending.append((e, _norm(*r)))
+            if elo is not None:
+                # Correction form: δ = MG(0, r) + compensated update.
+                zero = tuple(cx.zeros_like(c) for c in e)
+                delta = run_one_cycle(zero, rds, levels, conf,
+                                      sharding=ctx.sharding, dbg=dbg)
+                e, elo = _ds_accumulate(e, elo, delta)
+                rds = _ds_residual(e, elo, s, levels[0].arrays)
+                pending.append(((e, elo), _norm(*rds)))
+            else:
+                e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
+                                  sharding=ctx.sharding, dbg=dbg)
+                r = _jit_residual(e, s, levels[0].arrays)
+                pending.append(((e, None), _norm(*r)))
             it_disp += 1
 
             # Advance sc/lr schedules (per top-level cycle).
@@ -957,10 +1086,20 @@ def multigrid(ctx, var, e=None, s=None, track=True):
             break
         result = e_i
 
+        # Switch the dispatch chain to two-float accumulation once the
+        # checked error nears the f32 solution-representation floor.
+        if (standalone and elo is None and _ds_wanted(e, var)
+                and l2_last < ds_tau * var.l2_refe):
+            elo = tuple(cx.zeros_like(c) for c in e)
+            rds = _ds_residual(
+                e, elo, s, ctx.levels(int(var.sc_dir))[0].arrays)
+
     var.l2 = l2_last
+    ehi_f, elo_f = result
     if standalone:
-        ctx.e = result
-    return result
+        ctx.e = ehi_f
+        ctx.e_lo = elo_f
+    return ehi_f
 
 
 def _qc_levels(out, nlevels, lvl, cycmax, new_cycmax, cycle):
@@ -1109,11 +1248,11 @@ def krylov(ctx, var):
         except _ConvergenceError:
             raise
 
-    def callback(xk):
+    def callback(xk, l2=None):
         var._ssl_it += 1
         var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
                                      var.time.elapsed]
-        var.l2 = residual_norm(xk, s, arrays)
+        var.l2 = residual_norm(xk, s, arrays) if l2 is None else l2
         var.error_at_cycle = np.r_[var.error_at_cycle, var.l2]
         if var.verb > 3:
             log = f"   [{var.time.now}]   {var.l2/var.l2_refe:.3e} "
@@ -1126,7 +1265,27 @@ def krylov(ctx, var):
     atol = max(float(var.tol) * bnorm, 1e-30)
 
     try:
-        if var.sslsolver == 'bicgstab':
+        if var.sslsolver == 'bicgstab' and ctx.split and \
+                _pipelined_checks():
+            # Device-resident Krylov scalars + fixed-cycle MG
+            # preconditioner: zero blocking host syncs per iteration
+            # except the one lagged diagnostics fetch.  Unit-norm
+            # scaling keeps the f32 recurrence scalars (4th powers of
+            # residual magnitudes in the diagnostics) above the f32
+            # underflow threshold — same fix as the batched path.
+            sc = 1.0 / max(bnorm, 1e-300)
+            s_n = tuple(c * sc for c in s)
+            x_n = tuple(c * sc for c in x)
+
+            def precond_fast(r):
+                return _precond_fixed_cycles(ctx, var, r, batch=False)
+
+            x, info = _bicgstab_device(matvec, precond_fast, s_n, x_n,
+                                       max(float(var.tol), 1e-30),
+                                       var.ssl_maxit, callback,
+                                       l2scale=bnorm)
+            x = tuple(c * bnorm for c in x)
+        elif var.sslsolver == 'bicgstab':
             x, info = _bicgstab(matvec, precond, s, x, atol,
                                 var.ssl_maxit, callback)
         elif var.sslsolver == 'cgs':
@@ -1203,6 +1362,144 @@ def _scipy_gcrotmk(ctx, var, matvec, precond, b, x, callback):
                            rtol=var.tol, atol=1e-30, M=M,
                            maxiter=var.ssl_maxit, callback=cb)
     return from_flat(xf), info
+
+
+def _dot_d(a, b):
+    """<a, b> as a device C2 scalar (no host sync)."""
+    re = None
+    im = None
+    for x, y in zip(a, b):
+        if cx.is_c2(x):
+            r_ = jnp.sum(x.re * y.re + x.im * y.im)
+            i_ = jnp.sum(x.re * y.im - x.im * y.re)
+        else:
+            v = jnp.vdot(x, y)
+            r_, i_ = jnp.real(v), jnp.imag(v)
+        re = r_ if re is None else re + r_
+        im = i_ if im is None else im + i_
+    return cx.C2(re, im)
+
+
+def _cdiv0(num, den):
+    """num/den as C2 scalars (no breakdown guard: the host checks the
+    lagged |den| diagnostic and discards any poisoned iterates)."""
+    d2 = den.re * den.re + den.im * den.im
+    return cx.C2((num.re * den.re + num.im * den.im) / d2,
+                 (num.im * den.re - num.re * den.im) / d2)
+
+
+@jax.jit
+def _bicg_p(r, rtilde, p, v, rho_prev, alpha, omega):
+    """rho, beta and the search-direction update (one dispatch)."""
+    rho = _dot_d(rtilde, r)
+    beta = _cdiv0(rho, rho_prev) * _cdiv0(alpha, omega)
+    p_new = tuple(rr + beta * (pp - omega * vv)
+                  for rr, pp, vv in zip(r, p, v))
+    return p_new, rho
+
+
+@jax.jit
+def _bicg_alpha(rtilde, v, rho, r):
+    """alpha and the intermediate residual s = r - alpha v."""
+    denom = _dot_d(rtilde, v)
+    alpha = _cdiv0(rho, denom)
+    sres = tuple(rr - alpha * vv for rr, vv in zip(r, v))
+    return alpha, sres, denom
+
+
+def _bicgstab_device(matvec, precond, b, x, atol, maxiter, callback,
+                     l2scale=1.0):
+    """BiCGSTAB with device-resident scalars and a lagged 1-fetch check.
+
+    Same recurrence as :func:`_bicgstab`, but every scalar (rho, alpha,
+    omega, beta) stays a C2 device scalar: the host never blocks inside
+    an iteration.  Breakdown/convergence tests run on a packed
+    diagnostics vector fetched with a one-iteration lag — a speculative
+    iteration may be computed past the converged/broken one and is
+    discarded, exactly like the multigrid pipeline's lookahead.
+    C2 (split) fields only.
+    """
+    from collections import deque
+
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    one = jnp.asarray(1.0, dtype=cx.real_dtype_of(r[0]))
+    zero = jnp.zeros_like(one)
+    rho_prev = cx.C2(one, zero)
+    alpha = cx.C2(one, zero)
+    omega = cx.C2(one, zero)
+    v = tuple(cx.zeros_like(c) for c in r)
+    p = tuple(cx.zeros_like(c) for c in r)
+
+    atol2 = atol * atol
+    lag = 1 if _pipelined_checks() else 0
+    pend = deque()
+
+    def check(entry):
+        """Pop one iteration's diagnostics; return (x, info) to stop."""
+        (x_start, phat_i, alpha_i, x_after, diag_d) = entry
+        diag = np.asarray(diag_d)
+        (rn2, rho2, den2, sn2, tt, om2, rn2_new) = diag
+        if rn2 <= atol2:
+            return x_start, 0
+        if rho2 == 0:
+            return x_start, -10
+        if den2 == 0:
+            return x_start, -11
+        if sn2 <= atol2:
+            xh = _axpy(alpha_i, phat_i, x_start)
+            callback(xh, l2=float(np.sqrt(sn2)) * l2scale)
+            return xh, 0
+        if tt == 0:
+            return x_start, -12
+        callback(x_after, l2=float(np.sqrt(rn2_new)) * l2scale)
+        if om2 == 0:
+            return x_after, -13
+        return None
+
+    for it in range(maxiter):
+        x_start = x
+        if it == 0:
+            p = r
+            rho = _dot_d(rtilde, r)
+        else:
+            p, rho = _bicg_p(r, rtilde, p, v, rho_prev, alpha, omega)
+        phat = precond(p)
+        v = matvec(phat)
+        alpha, sres, denom = _bicg_alpha(rtilde, v, rho, r)
+        shat = precond(sres)
+        t = matvec(shat)
+        x, r, omega, diag = _bicg_close(x, r_start=r, phat=phat,
+                                        shat=shat, sres=sres, t=t,
+                                        alpha=alpha, rho=rho,
+                                        denom=denom)
+        rho_prev = rho
+        pend.append((x_start, phat, alpha, x, diag))
+        if len(pend) > lag:
+            res = check(pend.popleft())
+            if res is not None:
+                return res
+    while pend:
+        res = check(pend.popleft())
+        if res is not None:
+            return res
+    return x, maxiter
+
+
+@jax.jit
+def _bicg_close(x, r_start, phat, shat, sres, t, alpha, rho, denom):
+    """omega, the x/r updates and packed diagnostics (one dispatch)."""
+    tt = _dot_d(t, t)
+    omega = _cdiv0(_dot_d(t, sres), tt)
+    x_new = tuple(xx + alpha * ph + omega * sh
+                  for xx, ph, sh in zip(x, phat, shat))
+    r_new = tuple(ss - omega * ttt for ss, ttt in zip(sres, t))
+    rn2 = _dot_d(r_start, r_start).re
+    sn2 = _dot_d(sres, sres).re
+    rn2_new = _dot_d(r_new, r_new).re
+    diag = jnp.stack([rn2, cx.abs2(rho), cx.abs2(denom), sn2, tt.re,
+                      cx.abs2(omega), rn2_new])
+    return x_new, r_new, omega, diag
 
 
 def _bicgstab(matvec, precond, b, x, atol, maxiter, callback):
@@ -1395,9 +1692,12 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
         var.cprint(f"\n:: emg3d_tpu END   :: {var.time.now} :: "
                    f"runtime = {var.time.runtime}\n", 2)
 
-    out = fields.Field(np.array(cx.tocomplex(ctx.e[0])),
-                       np.array(cx.tocomplex(ctx.e[1])),
-                       np.array(cx.tocomplex(ctx.e[2])),
+    comps = [np.array(cx.tocomplex(c)) for c in ctx.e]
+    if ctx.e_lo is not None:
+        # Collapse the two-float solution on the host (f64 exact).
+        comps = [hi.astype(np.complex128) + np.array(cx.tocomplex(lo))
+                 for hi, lo in zip(comps, ctx.e_lo)]
+    out = fields.Field(comps[0], comps[1], comps[2],
                        frequency=sfield._frequency)
 
     if not do_return:

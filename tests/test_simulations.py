@@ -101,7 +101,12 @@ class TestGradient:
         model_init = Model(mesh, con_init, mapping='Conductivity')
         model_true = Model(mesh, con_true, mapping='Conductivity')
 
-        inp = _sim_inp(mesh)
+        # Tight solver tol: the FD quotient differences are O(eps) and
+        # solver noise at 5e-5 is the same order as a 1% NRMSD — which
+        # iterate the solver lands on inside the tol ball then decides
+        # the test (it flipped marginally when smoother defaults were
+        # recalibrated).
+        inp = _sim_inp(mesh, tol=5e-6)
         sim_data = Simulation(model=model_true, **inp)
         sim_data.compute(observed=True)
         # No noise for the FD check.
