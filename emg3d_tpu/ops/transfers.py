@@ -193,10 +193,14 @@ def prolongate(ex, ey, ez, cex, cey, cez, pweights, coarsen):
 def restrict_model_parameter(param, coarsen):
     """Coarsen η/ζ by summing child cells (2/4/8 depending on dirs).
 
+    Accepts 3-D (nx, ny, nz) parameters or 4-D (B, nx, ny, nz) batched
+    stacks (one lane per frequency in multi-frequency batched solves).
     Reference parity: solver.py:1747-1784 (_restrict_model_parameters).
     """
+    ndim = param.re.ndim if hasattr(param, 're') else param.ndim
+    off = ndim - 3
     out = param
     for axis, c in enumerate(coarsen):
         if c:
-            out = _sum_pairs(out, axis)
+            out = _sum_pairs(out, off + axis)
     return out

@@ -339,11 +339,13 @@ class Simulation:
             self.data['observed'][min_off] = np.nan + 1j * np.nan
 
     def _compute_batched(self):
-        """Batched multi-source solves where grids+frequency coincide.
+        """Batched multi-(source, frequency) solves sharing a grid.
 
-        Fills ``_dict_efield`` for groups of >=2 uncomputed sources
-        sharing (grid, frequency); plain multigrid and bicgstab both
-        batch; other Krylov variants fall back to per-pair solves.
+        Fills ``_dict_efield`` for groups of >=2 uncomputed (source,
+        frequency) pairs on the same (grid, model): mixed frequencies
+        batch too (the solver stacks η per lane; SURVEY §2.6 item 2).
+        Plain multigrid and bicgstab both batch; other Krylov variants
+        fall back to per-pair solves.
         """
         ssl = self.solver_opts.get('sslsolver', True)
         if ssl is True:
@@ -358,19 +360,22 @@ class Simulation:
             if self._dict_efield[src][freq] is not None:
                 continue
             grid = self.get_grid(src, freq)
-            groups.setdefault((id(grid), freq), []).append(src)
+            model = self.get_model(src, freq)
+            groups.setdefault((id(grid), id(model)),
+                              []).append((src, freq))
 
-        for (gid, freq), srcs in groups.items():
-            if len(srcs) < 2:
+        for pairs in groups.values():
+            if len(pairs) < 2:
                 continue
-            grid = self.get_grid(srcs[0], freq)
-            model = self.get_model(srcs[0], freq)
-            sfields = [self.get_sfield(src, freq) for src in srcs]
+            src0, freq0 = pairs[0]
+            grid = self.get_grid(src0, freq0)
+            model = self.get_model(src0, freq0)
+            sfields = [self.get_sfield(src, freq) for src, freq in pairs]
             opts = {k: v for k, v in self.solver_opts.items()
                     if k not in ['sslsolver', 'return_info', 'log']}
             efields, info = solve_batched(grid, model, sfields,
                                           sslsolver=ssl, **opts)
-            for i, src in enumerate(srcs):
+            for i, (src, freq) in enumerate(pairs):
                 self._dict_efield[src][freq] = efields[i]
                 sinfo = dict(info)
                 sinfo['abs_error'] = float(info['abs_error'][i])
@@ -432,7 +437,7 @@ class Simulation:
         self.print_solver_info('bfield', verb=self.verb)
 
     def _bcompute_batched(self):
-        """Batched adjoint solves where grids+frequency coincide."""
+        """Batched adjoint solves for (src, freq) pairs on one grid."""
         ssl = self.solver_opts.get('sslsolver', True)
         if ssl is True:
             ssl = 'bicgstab'
@@ -446,19 +451,22 @@ class Simulation:
             if self._dict_bfield[src][freq] is not None:
                 continue
             grid = self.get_grid(src, freq)
-            groups.setdefault((id(grid), freq), []).append(src)
+            model = self.get_model(src, freq)
+            groups.setdefault((id(grid), id(model)),
+                              []).append((src, freq))
 
-        for (gid, freq), srcs in groups.items():
-            if len(srcs) < 2:
+        for pairs in groups.values():
+            if len(pairs) < 2:
                 continue
-            grid = self.get_grid(srcs[0], freq)
-            model = self.get_model(srcs[0], freq)
-            rfields = [self._get_rfield(src, freq) for src in srcs]
+            src0, freq0 = pairs[0]
+            grid = self.get_grid(src0, freq0)
+            model = self.get_model(src0, freq0)
+            rfields = [self._get_rfield(src, freq) for src, freq in pairs]
             opts = {k: v for k, v in self.solver_opts.items()
                     if k not in ['sslsolver', 'return_info', 'log']}
             bfields, info = solve_batched(grid, model, rfields,
                                           sslsolver=ssl, **opts)
-            for i, src in enumerate(srcs):
+            for i, (src, freq) in enumerate(pairs):
                 self._dict_bfield[src][freq] = bfields[i]
                 sinfo = dict(info)
                 sinfo['abs_error'] = float(info['abs_error'][i])

@@ -343,7 +343,14 @@ def use_split_complex():
 
 
 def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
-    """Build the full level hierarchy for one top-level sc_dir."""
+    """Build the full level hierarchy for one top-level sc_dir.
+
+    ``vmodel`` may be a list of VolumeModels (one per batch lane, e.g.
+    per frequency): the frequency-dependent η parameters are then
+    stacked on a leading lane axis (B, nx, ny, nz) and every kernel
+    runs vmapped over it; ζ is frequency-independent and stays shared
+    (taken from the first lane).
+    """
     # Host-side dtype computation only — never instantiate complex
     # device arrays (unsupported on TPU backends).
     rdtype = jax.dtypes.canonicalize_dtype(np.zeros(0, dtype).real.dtype)
@@ -355,11 +362,25 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
         def as_eta(a):
             return jnp.asarray(a, dtype=dtype)
 
-    eta_x = as_eta(vmodel.eta_x)
-    eta_y = (eta_x if vmodel.eta_y is vmodel.eta_x
-             else as_eta(vmodel.eta_y))
-    eta_z = (eta_x if vmodel.eta_z is vmodel.eta_x
-             else as_eta(vmodel.eta_z))
+    if isinstance(vmodel, (list, tuple)):
+        vms = list(vmodel)
+
+        def stack_eta(name):
+            vals = [np.asarray(getattr(vm, name)) for vm in vms]
+            return as_eta(np.stack(vals))
+
+        eta_x = stack_eta('eta_x')
+        shared_y = all(vm.eta_y is vm.eta_x for vm in vms)
+        shared_z = all(vm.eta_z is vm.eta_x for vm in vms)
+        eta_y = eta_x if shared_y else stack_eta('eta_y')
+        eta_z = eta_x if shared_z else stack_eta('eta_z')
+        vmodel = vms[0]
+    else:
+        eta_x = as_eta(vmodel.eta_x)
+        eta_y = (eta_x if vmodel.eta_y is vmodel.eta_x
+                 else as_eta(vmodel.eta_y))
+        eta_z = (eta_x if vmodel.eta_z is vmodel.eta_x
+                 else as_eta(vmodel.eta_z))
     zeta = jnp.asarray(vmodel.zeta, dtype=rdtype)
 
     h_np = [np.asarray(h, dtype=np.float64) for h in grid.h]
@@ -468,6 +489,20 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
 
 def _residual_e(e, s, arrays):
     return stencil.residual_parts(*s, *e, *arrays)
+
+
+def _arrays_in_axes(arrays):
+    """vmap in_axes spec for a level's arrays tuple.
+
+    Batched (4-D) η stacks — one lane per frequency in mixed-frequency
+    batched solves — map over axis 0; shared ζ/h (and unbatched η)
+    broadcast.  C2 entries use prefix semantics (one spec for both
+    re/im leaves).
+    """
+    def ax(a):
+        nd = a.re.ndim if cx.is_c2(a) else a.ndim
+        return 0 if nd == 4 else None
+    return tuple(ax(a) for a in arrays)
 
 
 def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
@@ -586,8 +621,10 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
 def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
                 batch=False, fstacks=None):
     if batch:
-        return jax.vmap(lambda e_, s_: _smooth(
-            e_, s_, arrays, nu, lr_dir, shape, pallas_ok=False))(e, s)
+        return jax.vmap(
+            lambda e_, s_, ar: _smooth(e_, s_, ar, nu, lr_dir, shape,
+                                       pallas_ok=False),
+            in_axes=(0, 0, _arrays_in_axes(arrays)))(e, s, arrays)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape,
@@ -604,17 +641,19 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
     cycle body, solver.py:542-556).
     """
-    def body(e_, s_, pallas_ok=True, mesh_=None):
-        e_ = _smooth(e_, s_, arrays, nu_pre, lr_dir, shape,
+    def body(e_, s_, pallas_ok=True, mesh_=None, ar=arrays):
+        e_ = _smooth(e_, s_, ar, nu_pre, lr_dir, shape,
                      pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
-        r = _residual_e(e_, s_, arrays)
+        r = _residual_e(e_, s_, ar)
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
         ec = tuple(cx.zeros_like(c) for c in rc)
         return e_, rc, ec
 
     if batch:
-        return jax.vmap(lambda e_, s_: body(e_, s_, False))(e, s)
+        return jax.vmap(
+            lambda e_, s_, ar: body(e_, s_, False, ar=ar),
+            in_axes=(0, 0, _arrays_in_axes(arrays)))(e, s, arrays)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return body(e, s, mesh is None, mesh)
@@ -627,15 +666,17 @@ def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
                         lr_dir, shape, mesh=None, batch=False,
                         fstacks=None):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
-    def body(e_, ec_, s_, pallas_ok=True, mesh_=None):
+    def body(e_, ec_, s_, pallas_ok=True, mesh_=None, ar=arrays):
         e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
         e_ = stencil.pec_mask_apply(*e_)
-        return _smooth(e_, s_, arrays, nu_post, lr_dir, shape,
+        return _smooth(e_, s_, ar, nu_post, lr_dir, shape,
                        pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
 
     if batch:
-        return jax.vmap(lambda e_, ec_, s_: body(e_, ec_, s_,
-                                                 False))(e, ec, s)
+        return jax.vmap(
+            lambda e_, ec_, s_, ar: body(e_, ec_, s_, False, ar=ar),
+            in_axes=(0, 0, 0, _arrays_in_axes(arrays)))(e, ec, s,
+                                                        arrays)
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return body(e, ec, s, mesh is None, mesh)
@@ -665,12 +706,16 @@ def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False):
                    for (sh, co, _, _, _), (wr, wp)
                    in zip(static, weights))
 
-        def body(e_, s_, pallas_ok=True):
-            return _mg_rec(e_, s_, arrays, st, 0, cycmax, new_cycmax,
-                           conf, is_top=False, pallas_ok=pallas_ok)
+        def body(e_, s_, pallas_ok=True, ar=None):
+            return _mg_rec(e_, s_, ar if ar is not None else arrays,
+                           st, 0, cycmax, new_cycmax, conf,
+                           is_top=False, pallas_ok=pallas_ok)
 
         if batch:
-            return jax.vmap(lambda e_, s_: body(e_, s_, False))(e, s)
+            spec = tuple(_arrays_in_axes(a) for a in arrays)
+            return jax.vmap(
+                lambda e_, s_, ar: body(e_, s_, False, ar),
+                in_axes=(0, 0, spec))(e, s, arrays)
         return body(e, s)
 
     fn = jax.jit(tail_fn)
@@ -1743,13 +1788,16 @@ def _info_dict(var):
 @jax.jit
 def _jit_residual_b(e, s, arrays):
     """Residual for batched fields (leading source axis)."""
-    return jax.vmap(lambda e_, s_: _residual_e(e_, s_, arrays))(e, s)
+    return jax.vmap(lambda e_, s_, ar: _residual_e(e_, s_, ar),
+                    in_axes=(0, 0, _arrays_in_axes(arrays)))(e, s,
+                                                             arrays)
 
 
 @jax.jit
 def _jit_amat_b(e, arrays):
     """Operator application for batched fields."""
-    return jax.vmap(lambda e_: stencil.amat(*e_, *arrays))(e)
+    return jax.vmap(lambda e_, ar: stencil.amat(*e_, *ar),
+                    in_axes=(0, _arrays_in_axes(arrays)))(e, arrays)
 
 
 @jax.jit
@@ -1771,9 +1819,11 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     parallelism does the work of the worker pool, with far better
     utilization for small/medium grids.
 
-    All sources must share the frequency (the η parameters are
-    frequency-dependent).  Only stand-alone multigrid is supported
-    (``sslsolver`` is not); semicoarsening and line relaxation are.
+    Sources may have DIFFERENT frequencies: the frequency-dependent η
+    parameters are then stacked per batch lane (SURVEY §2.6 item 2)
+    and the whole (source × frequency) group advances in one compiled
+    program.  Semicoarsening and line relaxation are supported;
+    ``sslsolver`` supports 'bicgstab'.
 
     Termination: CONVERGED when every source's residual is below tol;
     DIVERGED if any diverges; otherwise the usual criteria on the
@@ -1786,11 +1836,6 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     """
     if not sfields:
         raise ValueError("Provide at least one source field.")
-    freqs = {float(sf._frequency) for sf in sfields}
-    if len(freqs) != 1:
-        raise ValueError(
-            "All sources of a batched solve must share the frequency; "
-            f"got {sorted(freqs)}.")
     sslsolver = kwargs.pop('sslsolver', False)
 
     var = MGParameters(
@@ -1798,7 +1843,18 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         linerelaxation=linerelaxation, semicoarsening=semicoarsening,
         shape_cells=tuple(grid.shape_cells), **kwargs)
 
-    vmodel = models.VolumeModel(grid, model, sfields[0])
+    # One VolumeModel per unique frequency; a per-lane LIST triggers
+    # η-stacking in build_levels when frequencies are mixed.
+    lane_freqs = [float(sf._frequency) for sf in sfields]
+    if len(set(lane_freqs)) == 1:
+        vmodel = models.VolumeModel(grid, model, sfields[0])
+    else:
+        by_freq = {}
+        for sf in sfields:
+            f = float(sf._frequency)
+            if f not in by_freq:
+                by_freq[f] = models.VolumeModel(grid, model, sf)
+        vmodel = [by_freq[f] for f in lane_freqs]
 
     # Stack sources along a leading batch axis.  The batched Krylov
     # path always uses the split representation (its per-source scalar
@@ -1881,11 +1937,11 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         var.cprint("\n   > " + var.exit_message, 2)
         result = x
         out = []
-        freq = sfields[0]._frequency
         comps = [np.array(cx.tocomplex(c)) for c in result]
         for b_ in range(len(sfields)):
-            out.append(fields.Field(comps[0][b_], comps[1][b_],
-                                    comps[2][b_], frequency=freq))
+            out.append(fields.Field(
+                comps[0][b_], comps[1][b_], comps[2][b_],
+                frequency=sfields[b_]._frequency))
         info = {
             'exit': 0 if var.exit_message == 'CONVERGED' else 1,
             'exit_message': var.exit_message,
@@ -1969,13 +2025,12 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
             var.cprint(add + "   > " + var.exit_message, 2)
             break
 
-    # Unstack into host Fields.
+    # Unstack into host Fields (per-lane frequency).
     out = []
-    freq = sfields[0]._frequency
     comps = [np.array(cx.tocomplex(c)) for c in result]
     for b in range(len(sfields)):
         out.append(fields.Field(comps[0][b], comps[1][b], comps[2][b],
-                                frequency=freq))
+                                frequency=sfields[b]._frequency))
 
     info = {
         'exit': 0 if var.exit_message == 'CONVERGED' else 1,

@@ -45,13 +45,79 @@ def test_batched_with_sc_lr(problem):
 def test_batched_validation(problem):
     grid, model = problem
     s1 = get_source_field(grid, [300, 900, 700, 0, 0], 1.0)
-    s2 = get_source_field(grid, [300, 900, 700, 0, 0], 2.0)
-    with pytest.raises(ValueError, match='share the frequency'):
-        solve_batched(grid, model, [s1, s2])
     with pytest.raises(NotImplementedError, match='bicgstab only'):
         solve_batched(grid, model, [s1], sslsolver='cgs')
     with pytest.raises(ValueError, match='at least one'):
         solve_batched(grid, model, [])
+
+
+def test_batched_mixed_frequencies(problem):
+    """(src × freq) lanes with per-lane η stacks == per-pair solves."""
+    grid, model = problem
+    lanes = [(200, 1.0), (500, 2.0), (800, 1.0), (1100, 0.5)]
+    sfields = [get_source_field(grid, [x, 800, 800, 0, 0], f)
+               for x, f in lanes]
+    es, info = solve_batched(grid, model, sfields, cycle='F', verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert np.all(info['rel_error'] < 1e-6)
+    for i, sf in enumerate(sfields):
+        ei = solve(grid, model, sf, cycle='F', verb=1)
+        rel = (np.linalg.norm(es[i].field - ei.field) /
+               np.linalg.norm(ei.field))
+        assert rel < 1e-5
+        assert es[i]._frequency == sf._frequency
+
+
+def test_batched_mixed_frequencies_bicgstab(problem):
+    grid, model = problem
+    sfields = [get_source_field(grid, [300 + 200*i, 800, 800, 0, 0], f)
+               for i, f in enumerate([0.7, 1.4])]
+    es, info = solve_batched(grid, model, sfields, cycle='F',
+                             sslsolver='bicgstab', semicoarsening=True,
+                             linerelaxation=True, verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert np.all(info['rel_error'] < 1e-6)
+    for i, sf in enumerate(sfields):
+        ei = solve(grid, model, sf, cycle='F', sslsolver='bicgstab',
+                   semicoarsening=True, linerelaxation=True, verb=1)
+        rel = (np.linalg.norm(es[i].field - ei.field) /
+               np.linalg.norm(ei.field))
+        assert rel < 1e-5
+
+
+def test_simulation_batches_across_frequencies(problem):
+    """One Simulation group spans all (src, freq) pairs on one grid."""
+    from emg3d_tpu import solver as S
+
+    grid, model = problem
+    survey = Survey('MultiF', ([300, 600], 800, 800, 0, 0),
+                    (1200, 800, 800, 0, 0), [1.0, 2.0],
+                    noise_floor=1e-15, relative_error=0.05)
+    calls = []
+    orig = S.solve_batched
+
+    def spy(grid_, model_, sfields, **kw):
+        calls.append(len(sfields))
+        return orig(grid_, model_, sfields, **kw)
+
+    import emg3d_tpu.solver
+    emg3d_tpu.solver.solve_batched = spy
+    try:
+        sim = Simulation(
+            'mf', survey, grid, model, gridding='same',
+            solver_opts={'sslsolver': False, 'semicoarsening': False,
+                         'linerelaxation': False, 'tol': 1e-5},
+            verb=-1)
+        sim.compute()
+    finally:
+        emg3d_tpu.solver.solve_batched = orig
+    # All 2 srcs × 2 freqs in ONE batched call.
+    assert calls == [4]
+    for src in survey.sources:
+        for f in (1.0, 2.0):
+            info = sim.get_efield_info(src, f)
+            assert info['exit_message'] == 'CONVERGED'
+    assert np.all(np.isfinite(sim.data.synthetic))
 
 
 def test_batched_bicgstab_matches_single(problem):
