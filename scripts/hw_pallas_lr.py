@@ -2,12 +2,16 @@
 
 Run on TPU (ambient env): compares line_relaxation_pallas against
 smoothers.line_relaxation on random C2 float32 inputs at 64^3 for all
-three axes, and times the kernel (fetch-a-scalar timing; the tunnel's
-block_until_ready does not block).
+three axes, and times both JITTED (the unjitted XLA path is
+dispatch-bound over the remote tunnel — ~11-18 s vs its 38 ms jitted
+time at 64^3 — and must never be used as the baseline).
+Fetch-a-scalar timing; the tunnel's block_until_ready does not block.
 """
+import functools
 import time
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from emg3d_tpu import TensorMesh, Model, SourceField, VolumeModel, cx
@@ -42,6 +46,8 @@ def main():
     shape = (64, 64, 64)
     e, s, par = setup(shape)
     for axis in (0, 1, 2):
+        jline = jax.jit(functools.partial(smoothers.line_relaxation,
+                                          nu=2, axis=axis))
         t0 = time.time()
         fs = line_factors(par, shape, axis)
         float(jnp.sum(fs))
@@ -50,7 +56,7 @@ def main():
                                      axis=axis, fstack=fs)
         fetch(out)
         t2 = time.time()
-        ref = smoothers.line_relaxation(*e, *s, *par, nu=2, axis=axis)
+        ref = jline(*e, *s, *par)
         fetch(ref)
         t3 = time.time()
         err = max(
@@ -73,8 +79,7 @@ def main():
         tp = (time.time() - t0) / 5
         t0 = time.time()
         for _ in range(5):
-            ref = smoothers.line_relaxation(*e, *s, *par, nu=2,
-                                            axis=axis)
+            ref = jline(*e, *s, *par)
         fetch(ref)
         tx = (time.time() - t0) / 5
         print(f"         steady: pallas {tp*1e3:8.2f} ms  "
