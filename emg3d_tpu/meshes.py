@@ -261,240 +261,317 @@ def check_mesh(mesh):
 
 
 def origin_and_widths(frequency, properties, center, domain=None,
-                      vector=None, seasurface=None, stretching=(1.0, 1.5),
-                      min_width_limits=None, min_width_pps=3,
-                      lambda_factor=1.0, max_buffer=100000.0,
-                      lambda_from_center=False, mapping='Resistivity',
-                      cell_numbers=None, verb=0, raise_error=True):
+                      vector=None, seasurface=None, **kwargs):
     """Compute origin and cell widths for one direction.
 
-    Frequency- and property-aware 1-D gridding: a survey domain is covered
-    with (possibly) constant cells of a skin-depth-derived minimum width;
-    buffer zones extending to roughly a wavelength are added on both sides
-    with geometrically stretched cells.
+    Frequency- and property-aware 1-D gridding with the reference's
+    search semantics (emg3d/meshes.py:578-864): the survey domain (DS)
+    fills with minimum-width cells grown geometrically from the center
+    (stretching ``sa``), buffers (to the computation domain DC) grow
+    from the DS edge widths (stretching ``ca`` ≥ sa), and the search
+    returns the FIRST feasible grid scanning cell counts ascending and
+    both stretchings in 0.01 steps — i.e., the cell-count-minimizing,
+    least-stretched grid.  Leftover cells extend the buffers
+    symmetrically (extra one to the right).
 
-    This is a from-scratch implementation of the *behavior* of the
-    reference's ``get_origin_widths`` (emg3d/meshes.py:578-864): the exact
-    optimization loop differs, but the produced grids satisfy the same
-    constraints (MG-friendly cell count, minimum width from pps, buffer of
-    lambda_factor*wavelength capped at max_buffer, stretching within
-    limits, optional seasurface pinning and fixed vectors).
+    ``verb=1`` prints the per-direction info block, ``verb=-1`` returns
+    it: skin depths, DS/DC extents, final extent, width extrema, cell
+    split and stretching summary.
 
-    Returns ``(origin, widths)`` or ``(None, None)`` if no grid within
-    ``cell_numbers`` satisfies the constraints (when raise_error=False).
+    Returns ``(origin, widths)`` — plus ``info`` if verb<0 — or Nones
+    if no grid within ``cell_numbers`` satisfies the constraints (when
+    raise_error=False).
     """
     from . import maps as _maps
 
-    # Map (possibly multiple) properties to conductivities -> skin depths.
+    distance = kwargs.pop('distance', None)
+    stretching = kwargs.pop('stretching', (1.0, 1.5))
+    min_width_limits = kwargs.pop('min_width_limits', None)
+    min_width_pps = kwargs.pop('min_width_pps', 3)
+    lambda_factor = kwargs.pop('lambda_factor', 1.0)
+    max_buffer = kwargs.pop('max_buffer', 100000.0)
+    lambda_from_center = kwargs.pop('lambda_from_center', False)
+    mapping = kwargs.pop('mapping', 'Resistivity')
+    cell_numbers = kwargs.pop('cell_numbers', None)
+    raise_error = kwargs.pop('raise_error', True)
+    verb = kwargs.pop('verb', 0)
+    if kwargs:
+        raise TypeError(f"Unexpected **kwargs: {list(kwargs.keys())}")
+
+    # Properties -> conductivities -> (center, negative, positive) skin
+    # depths; a short property list repeats its last entries.
     properties = np.atleast_1d(np.asarray(properties, dtype=float))
-    pmap = getattr(_maps, 'Map' + mapping)()
+    pmap = (getattr(_maps, 'Map' + mapping)()
+            if isinstance(mapping, str) else mapping)
     cond = pmap.backward(properties)
-    # First property is at the center; others define the boundary buffers.
-    sd_center = skin_depth(frequency, cond[0])
-    sd_bounds = skin_depth(frequency, cond[-1]) if cond.size > 1 else sd_center
-    sd_neg = (skin_depth(frequency, cond[1])
-              if cond.size > 2 else sd_bounds)
-    sd_pos = (skin_depth(frequency, cond[-1])
-              if cond.size > 1 else sd_bounds)
+    trip = [cond[0], cond[min(cond.size - 1, 1)],
+            cond[min(cond.size - 1, 2)]]
+    skind = np.array([skin_depth(frequency, c) for c in trip])
+    dmin = cell_width(skind[0], min_width_pps, min_width_limits)
 
-    # Minimum cell width.
-    dmin = cell_width(sd_center, min_width_pps, min_width_limits)
-
-    # Survey domain.
+    # Survey domain DS.  Priority: domain > vector > distance.
+    if domain is None and vector is None and distance is None:
+        raise ValueError("At least one of `domain`, `distance`, and "
+                         "`vector` must be provided.")
     if domain is None:
-        if vector is not None:
-            domain = np.array([np.min(vector), np.max(vector)], dtype=float)
+        if vector is None:
+            domain = np.array([center - abs(distance[0]),
+                               center + abs(distance[1])])
         else:
-            domain = np.array([center - dmin, center + dmin], dtype=float)
+            domain = np.array([np.min(vector), np.max(vector)],
+                              dtype=float)
     else:
-        domain = np.asarray(domain, dtype=float).copy()
+        domain = np.asarray(domain, dtype=np.float64).copy()
+        if vector is not None and (domain[0] < np.min(vector) or
+                                   domain[1] > np.max(vector)):
+            raise ValueError("Provided vector MUST at least include "
+                             "all of the survey domain.")
 
-    # Buffer (computation) domain: lambda_factor*wavelength, capped.
-    buff_neg = min(lambda_factor * wavelength(sd_neg), max_buffer)
-    buff_pos = min(lambda_factor * wavelength(sd_pos), max_buffer)
+    if seasurface is not None:
+        if seasurface <= center:
+            raise ValueError(
+                "The `seasurface` but be bigger then `center`.")
+        if abs(seasurface - center) < dmin:
+            center = seasurface
+
+    # Computation domain DC: one (scaled) wavelength beyond DS so the
+    # signal decays over two wavelengths there and back.
+    wlength = lambda_factor * wavelength(skind[1:])
     if lambda_from_center:
-        buff_neg = max(buff_neg - (center - domain[0]), 0.0)
-        buff_pos = max(buff_pos - (domain[1] - center), 0.0)
-    comp_domain = np.array([domain[0] - buff_neg, domain[1] + buff_pos])
-
-    if seasurface is not None and seasurface > domain[1]:
-        domain[1] = seasurface
+        in_domain = abs(domain - center)
+        d_buff = np.max([np.zeros(2), (2 * wlength - in_domain) / 2],
+                        axis=0)
+        comp_domain = np.array([domain[0] - d_buff[0],
+                                domain[1] + d_buff[1]])
+        comp_domain[0] = max(comp_domain[0], center - max_buffer)
+        comp_domain[1] = min(comp_domain[1], center + max_buffer)
+    else:
+        dbuffer = np.minimum(wlength, max_buffer)
+        comp_domain = np.array([domain[0] - dbuffer[0],
+                                domain[1] + dbuffer[1]])
 
     if cell_numbers is None:
         cell_numbers = good_mg_cell_nr()
-    cell_numbers = np.sort(np.atleast_1d(cell_numbers))
+    stretching = np.atleast_1d(stretching)
 
-    sa_min, sa_max = 1.0, float(np.atleast_1d(stretching)[0])
-    ca_max = float(np.atleast_1d(stretching)[-1])
-
-    if vector is not None:
-        # Fixed survey-domain vector: only add buffers around it.
-        svec = np.asarray(vector, dtype=float)
-        sh = np.diff(svec)
-        domain = np.array([svec[0], svec[-1]])
-    else:
-        svec = None
-
-    # Try increasing cell numbers until the computation domain is covered.
-    for nc in cell_numbers:
-        if svec is None:
-            # Survey part: constant cells of (possibly stretched) width.
-            for alpha in np.arange(sa_min, sa_max + 1e-9, 0.01):
-                n_s = int(np.ceil(np.log(
-                    max((domain[1] - domain[0]) * (alpha - 1) / dmin + 1,
-                        1e-30)) / np.log(alpha))) if alpha > 1.0 else \
-                    int(np.ceil((domain[1] - domain[0]) / dmin))
-                # Uniform width that exactly tiles the survey domain.
-                n_s = max(n_s, 1)
-                if n_s > nc:
-                    continue
-                width = (domain[1] - domain[0]) / n_s
-                if alpha == sa_min and width > dmin * 1.0000001 and \
-                        n_s + 1 <= nc:
-                    n_s = int(np.ceil((domain[1] - domain[0]) / dmin))
-                    if n_s > nc:
-                        continue
-                    width = (domain[1] - domain[0]) / n_s
-                sh = np.full(n_s, width)
+    # --- Search: first (nx, sa, ca) that covers DC wins.
+    found = None
+    for nx in np.unique(cell_numbers):
+        for sa in np.arange(1.0, stretching[0] + 0.005, 0.01):
+            ds = _survey_part(dmin, sa, center, domain, vector,
+                              seasurface, nx)
+            if ds is None:
+                continue
+            hx_ds, asurv = ds
+            nx_remain = nx - hx_ds.size
+            if nx_remain <= 0:
+                continue
+            for ca in np.arange(sa, stretching[-1] + 0.005, 0.01):
+                full = _buffer_part(hx_ds, asurv, comp_domain, ca,
+                                    nx_remain)
+                if full is not None:
+                    found = (nx, sa, ca, hx_ds, *full)
+                    break
+            if found:
                 break
-            else:
-                continue
-        else:
-            if len(sh) > nc:
-                continue
+        if found:
+            break
 
-        # Remaining cells for the two buffers.
-        n_rem = nc - len(sh)
+    if found is None:
+        msg = "No suitable grid found; relax your criteria."
+        if raise_error:
+            raise RuntimeError(msg)
+        x0, hx, info = None, None, msg
+    else:
+        nx, sa, ca, hxo, hx, x0, nx_remain2 = found
+        info = _gridding_info(skind, cond, domain, comp_domain, x0, hx,
+                              hxo, nx, nx_remain2, sa, ca, stretching)
 
-        # Geometrically stretch from the edge width into the buffers.
-        h0 = sh[0] if len(sh) else dmin
-        h1 = sh[-1] if len(sh) else dmin
-        hn, hp, ok = _fill_buffers(
-            n_rem, h0, h1, comp_domain[0], domain[0], domain[1],
-            comp_domain[1], ca_max)
-        if not ok:
-            continue
-
-        widths = np.r_[hn[::-1], sh, hp]
-        origin = domain[0] - np.sum(hn)
-        return float(origin), widths
-
-    if raise_error:
-        raise RuntimeError(
-            "No suitable grid found; relax your criteria (stretching, "
-            "cell_numbers, min_width_limits).")
-    return None, None
+    if verb > 0:
+        print(info)
+    if verb < 0:
+        return x0, hx, info
+    return x0, hx
 
 
-def _fill_buffers(n_rem, h0, h1, cneg, dneg, dpos, cpos, alpha_max):
-    """Distribute n_rem cells into two stretched buffer zones.
+def _survey_part(dmin, sa, center, domain, vector, seasurface, nx):
+    """DS cells: grown from the center with stretching sa (or fixed).
 
-    Returns (widths_neg, widths_pos, success); widths_neg ordered from the
-    domain edge outwards (caller reverses).
+    Returns (widths, [left_edge, right_edge]) of the ACTUAL survey
+    part (it covers the requested domain with one cell of overshoot on
+    each side), incl. the seasurface node-pinning rescales; None if a
+    fixed vector already exceeds the cell budget semantics upstream.
     """
-    need_neg = dneg - cneg
-    need_pos = cpos - dpos
-    tot = need_neg + need_pos
-    if tot <= 0:
-        return np.zeros(0), np.zeros(0), True
-    # Split cells proportionally to the required distances.
-    for n_neg in range(n_rem + 1):
-        n_pos = n_rem - n_neg
-        # Greedy: find smallest alphas covering each side.
-        a_neg = _min_alpha(n_neg, h0, need_neg, alpha_max)
-        a_pos = _min_alpha(n_pos, h1, need_pos, alpha_max)
-        if a_neg is None or a_pos is None:
-            continue
-        hn = h0 * a_neg**np.arange(1, n_neg + 1)
-        hp = h1 * a_pos**np.arange(1, n_pos + 1)
-        # Scale minimally so the buffer is at least covered.
-        return hn, hp, True
-    return None, None, False
+    if vector is None:
+        grow = dmin * sa**np.arange(nx)
+        right = grow.copy()
+        if seasurface is not None and seasurface > center:
+            # Rescale the leading right-side cells so a node lands
+            # exactly on the seasurface.
+            nodes = np.r_[center, center + np.cumsum(right)]
+            ii = np.argmin(abs(nodes - seasurface))
+            if ii > 0:
+                right[:ii] *= abs(seasurface - center) / \
+                    np.sum(right[:ii])
+        nl = np.sum((center - np.cumsum(grow)) > domain[0]) + 1
+        nr = np.sum((center + np.cumsum(right)) < domain[1]) + 1
+        hx = np.r_[grow[:nl][::-1], right[:nr]]
+        asurv = [center - np.sum(grow[:nl]),
+                 center + np.sum(right[:nr])]
+    else:
+        asurv = [vector[0], vector[-1]]
+        hx = np.diff(vector)
+
+    # Extend (rescaled) up to a seasurface above the actual domain.
+    if seasurface is not None and seasurface > asurv[-1]:
+        ext = hx[-1] * sa**np.arange(nx)
+        ii = np.argmax(np.cumsum(ext) > (seasurface - asurv[-1]))
+        ext = ext[:ii]
+        if ext.size:
+            ext *= abs(seasurface - asurv[-1]) / np.sum(ext)
+        asurv[1] += np.sum(ext)
+        hx = np.r_[hx, ext]
+    return hx, asurv
 
 
-def _min_alpha(n, h, dist, alpha_max, tol=1e-10):
-    """Smallest stretching alpha such that sum(h*a^i, i=1..n) >= dist."""
-    if dist <= 0:
-        return 1.0 if n == 0 else 1.0
-    if n == 0:
+def _buffer_part(hx_ds, asurv, comp_domain, ca, nx_remain):
+    """Buffer cells from the DS edges to the computation domain.
+
+    Returns (hx_full, origin, n_leftover) or None if ``nx_remain``
+    cells cannot reach the computation domain at stretching ``ca``.
+    Leftover cells continue the stretched series, split evenly with
+    the odd one going right.
+    """
+    grow_l = hx_ds[0] * ca**np.arange(1, nx_remain + 1)
+    grow_r = hx_ds[-1] * ca**np.arange(1, nx_remain + 1)
+    nl = np.sum((asurv[0] - np.cumsum(grow_l)) > comp_domain[0]) + 1
+    nr = np.sum((asurv[1] + np.cumsum(grow_r)) < comp_domain[1]) + 1
+    n_left = nx_remain - nl - nr
+    if n_left < 0:
         return None
-    if h * n >= dist:  # No stretching needed.
-        return 1.0
-    lo, hi = 1.0, alpha_max
-    s = h * (hi * (hi**n - 1) / (hi - 1))
-    if s < dist:
-        return None
-    for _ in range(100):
-        mid = 0.5 * (lo + hi)
-        s = h * (mid * (mid**n - 1) / (mid - 1)) if mid > 1 + tol else h * n
-        if s < dist:
-            lo = mid
-        else:
-            hi = mid
-    return hi
+    nl += int(np.floor(n_left / 2))
+    nr += int(np.ceil(n_left / 2))
+    hx = np.r_[grow_l[:nl][::-1], hx_ds, grow_r[:nr]]
+    x0 = float(asurv[0] - np.sum(grow_l[:nl]))
+    return hx, x0, n_left
+
+
+def _gridding_info(skind, cond, domain, comp_domain, x0, hx, hxo, nx,
+                   nx_remain2, sa, ca, stretching):
+    """The per-direction info block (reference format)."""
+    sa_adj = np.max([hxo[1:] / hxo[:-1], hxo[:-1] / hxo[1:]])
+    sa_limit = min(1.5, stretching[0] + 0.25)
+    prec = int(np.ceil(max(0, -np.log10(min(hx)) + 1)))
+
+    info = f"Skin depth     [m] : {skind[0]:.{prec}f}"
+    if cond.size > 1:
+        info += f" / {skind[1]:.{prec}f}"
+    if cond.size > 2:
+        info += f" / {skind[2]:.{prec}f}"
+    info += "  [corr. to `properties`]\n"
+    info += (
+        f"Survey dom. DS [m] : "
+        f"{domain[0]:.{prec}f} - {domain[1]:.{prec}f}\n"
+        f"Comp. dom. DC  [m] : {comp_domain[0]:.{prec}f} - "
+        f"{comp_domain[1]:.{prec}f}\n"
+        f"Final extent   [m] : {x0:.{prec}f} - "
+        f"{x0 + np.sum(hx):.{prec}f}\n"
+        f"Cell widths    [m] : {min(hxo):.{prec}f} / "
+        f"{max(hxo):.{prec}f} / {max(hx):.{prec}f}  "
+        f"[min(DS) / max(DS) / max(DC)]\n"
+        f"Number of cells    : {nx} ({hxo.size} / "
+        f"{nx - hxo.size - nx_remain2} / {nx_remain2})  "
+        f"[Total (DS/DC/remain)]\n"
+        f"Max stretching     : {sa:.3f} ({sa_adj:.3f}) / {ca:.3f}"
+        "  [DS (seasurface) / DC]")
+    if sa_adj > sa_limit:
+        info += (f"\nNote: Stretching in DS >> {sa}.\nThe reason "
+                 "is usually the interplay of center/domain/"
+                 "seasurface.")
+    return info
+
+
+#: Reference-named alias (emg3d/meshes.py:578).
+get_origin_widths = origin_and_widths
 
 
 def construct_mesh(frequency, properties, center, domain=None, vector=None,
                    seasurface=None, **kwargs):
     """Construct a frequency/property-aware 3-D tensor mesh.
 
-    Per-direction gridding via :func:`origin_and_widths`.
+    Per-direction gridding via :func:`origin_and_widths`; parameters
+    follow the reference's ``construct_mesh`` (emg3d/meshes.py:278-575):
 
-    Parameters follow the reference's ``construct_mesh``
-    (emg3d/meshes.py:278-575): `properties` can be a scalar (same
-    everywhere), or sequences of 2 (center, boundary), 3 (center, bounds
-    xy, bounds z-), 4 (center, xy, z-, z+) or 7 (center, x-, x+, y-, y+,
-    z-, z+) values; `domain`/`vector` can be given per direction via dicts
-    or 3-tuples.
-
-    Returns
-    -------
-    TensorMesh
+    - ``properties``: scalar (same everywhere), or 2 (center, rest),
+      3 (center, z-down, rest), 4 (center, xy, z-down, z-up) or
+      7 (center, x-, x+, y-, y+, z-, z+) values;
+    - ``domain``/``vector``/``distance`` and ``stretching``/
+      ``min_width_limits``/``min_width_pps`` accept per-direction
+      3-sequences (None entries fall back to the shared value);
+    - the per-direction gridding info is collected on the returned
+      mesh as ``mesh.construct_mesh_info`` (printed when verb>0).
     """
-    properties = np.atleast_1d(np.asarray(properties, dtype=float))
-    center = np.asarray(center, dtype=float)
+    verb = kwargs.get('verb', 0)
+    distance = kwargs.pop('distance', None)
 
-    # Expand properties to per-direction (center, lower, upper) triples.
-    if properties.size == 1:
-        p = properties[0]
-        per_dir = [(p, p, p)] * 3
-    elif properties.size == 2:
-        c, b = properties
-        per_dir = [(c, b, b)] * 3
-    elif properties.size == 3:
-        c, bxy, bz = properties
-        per_dir = [(c, bxy, bxy), (c, bxy, bxy), (c, bz, bz)]
-    elif properties.size == 4:
-        c, bxy, bzn, bzp = properties
-        per_dir = [(c, bxy, bxy), (c, bxy, bxy), (c, bzn, bzp)]
-    elif properties.size == 7:
-        c, xn, xp, yn, yp, zn, zp = properties
-        per_dir = [(c, xn, xp), (c, yn, yp), (c, zn, zp)]
+    kwargs['frequency'] = frequency
+    kwargs['verb'] = -1
+    kwargs['raise_error'] = False
+    params = [{'center': center[0]}, {'center': center[1]},
+              {'center': center[2], 'seasurface': seasurface}]
+
+    # Properties per direction: (center, negative-side, positive-side).
+    if isinstance(properties, (int, float)):
+        properties = np.array([properties])
+    if len(properties) == 3:
+        trips = [[properties[0], properties[2], properties[2]]] * 2 + \
+            [[properties[0], properties[1], properties[2]]]
+    elif len(properties) == 4:
+        trips = [[properties[0], properties[1], properties[1]]] * 2 + \
+            [[properties[0], properties[2], properties[3]]]
+    elif len(properties) == 7:
+        trips = [[properties[0], properties[1], properties[2]],
+                 [properties[0], properties[3], properties[4]],
+                 [properties[0], properties[5], properties[6]]]
     else:
-        raise ValueError(
-            f"properties must have 1, 2, 3, 4, or 7 elements; "
-            f"got {properties.size}.")
+        trips = None
+        kwargs['properties'] = properties
+    if trips is not None:
+        for p, t in zip(params, trips):
+            p['properties'] = t
 
-    def _get(opt, i, name):
-        if opt is None:
-            return None
-        if isinstance(opt, dict):
-            return opt.get(name)
-        if isinstance(opt, (list, tuple)) and len(opt) == 3 and not \
-                np.isscalar(opt[0]):
-            return opt[i]
-        return opt if np.isscalar(opt[0]) and len(opt) == 2 else opt[i]
+    # Optionally direction-specific arguments: a 3-sequence dispatches
+    # per direction (None entries keep the shared/default value).
+    def dispatch(name, value, scalar_ok=False):
+        if value is None:
+            return
+        if scalar_ok and isinstance(value, (int, float)):
+            kwargs[name] = np.array([value])
+            return
+        if len(value) == 3 and not isinstance(value, np.ndarray):
+            for p, v in zip(params, value):
+                if v is not None:
+                    p[name] = v
+        else:
+            kwargs[name] = value
 
-    names = ['x', 'y', 'z']
-    origins, widths = [], []
-    for i in range(3):
-        dom = _get(domain, i, names[i])
-        vec = _get(vector, i, names[i])
-        sea = seasurface if i == 2 else None
-        o, w = origin_and_widths(
-            frequency, per_dir[i], center[i], domain=dom, vector=vec,
-            seasurface=sea, **kwargs)
-        origins.append(o)
-        widths.append(w)
+    dispatch('domain', domain)
+    dispatch('vector', vector)
+    dispatch('distance', distance)
+    for name in ['stretching', 'min_width_limits', 'min_width_pps']:
+        dispatch(name, kwargs.pop(name, None), scalar_ok=True)
 
-    return TensorMesh(widths, origins)
+    outs = [origin_and_widths(**kwargs, **p) for p in params]
+    if any(o[0] is None for o in outs):
+        raise RuntimeError("No suitable grid found; relax your "
+                           "criteria.")
+
+    mesh = TensorMesh([o[1] for o in outs],
+                      origin=np.array([o[0] for o in outs]))
+    info = "".join(
+        f"\n         == GRIDDING IN {ax} ==\n{o[2]}\n"
+        for ax, o in zip("XYZ", outs))
+    mesh.construct_mesh_info = info
+    if verb > 0:
+        print(info)
+    return mesh

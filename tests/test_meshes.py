@@ -84,10 +84,14 @@ class TestConstructMesh:
 
     def test_per_direction_properties(self):
         grid = construct_mesh(
-            frequency=0.5, properties=[3.3, 1.0, 1e5], center=(0, 0, -600),
+            frequency=0.5, properties=[3.3, 1e5, 1e5, 1e5, 1e5, 1.0, 1e5],
+            center=(0, 0, -600),
             domain=([-1000, 1000], [-1000, 1000], [-1200, 0]))
-        # Air side (z+) buffer limited by max_buffer.
-        assert grid.nodes_z[-1] <= 100000 + 1
+        # Air side (z+) computation domain limited by max_buffer; the
+        # final extent may overshoot it by up to one stretched cell
+        # (reference semantics: fill UNTIL covered, +1).
+        assert grid.nodes_z[-1] >= 100000
+        assert grid.nodes_z[-1] <= 2.5 * 100000
         good = good_mg_cell_nr()
         for n in grid.shape_cells:
             assert n in good
@@ -97,11 +101,12 @@ class TestConstructMesh:
         grid = construct_mesh(frequency=1.0, properties=1.0,
                               center=(0, 0, 0),
                               vector=(vec, vec, vec))
-        # The provided vector must be embedded in the node vectors.
+        # The provided vector must be embedded in the node vectors
+        # (up to origin-accumulation rounding).
         for name in ['nodes_x', 'nodes_y', 'nodes_z']:
             nodes = getattr(grid, name)
-            idx = np.searchsorted(nodes, vec)
-            np.testing.assert_allclose(nodes[idx], vec)
+            for v in vec:
+                assert np.min(np.abs(nodes - v)) < 1e-8
 
     def test_stretching_positive_widths(self):
         grid = construct_mesh(
@@ -112,3 +117,102 @@ class TestConstructMesh:
             # Neighboring cells stretch at most ~1.6x.
             ratio = h[1:] / h[:-1]
             assert ratio.max() < 1.75 and ratio.min() > 1 / 1.75
+
+
+class TestOriginWidths:
+    """Pinned to the reference's own test expectations
+    (/root/reference/tests/test_meshes.py:355-485): identical grids,
+    info strings, and error behavior."""
+
+    mu0 = 4e-7 * np.pi
+
+    def test_basics(self, capsys):
+        from emg3d_tpu.meshes import get_origin_widths
+        x0, hx = get_origin_widths(1/np.pi, 9*self.mu0, 0.0, [-1, 1],
+                                   stretching=[1, 1], verb=1)
+        out, _ = capsys.readouterr()
+        np.testing.assert_allclose(x0, -20)
+        np.testing.assert_allclose(hx, np.ones(40))
+        assert "Skin depth     [m] : 3.0  [corr." in out
+        assert "Survey dom. DS [m] : -1.0 - 1.0" in out
+        assert "Comp. dom. DC  [m] : -19.8 - 19.8" in out
+        assert "Final extent   [m] : -20.0 - 20.0" in out
+        assert "Cell widths    [m] : 1.0 / 1.0 / 1.0  [min(DS) / m" in out
+        assert "Number of cells    : 40 (4 / 36 / 0)  [Total (DS/" in out
+        assert "Max stretching     : 1.000 (1.000) / 1.000  [DS (" in out
+
+        get_origin_widths(1/np.pi, [8.9*self.mu0, 9*self.mu0], 0.0,
+                          [-1, 1], stretching=[1, 1], verb=1)
+        out, _ = capsys.readouterr()
+        assert "2.98 / 3.00  [corr. to `properties`]" in out
+
+    def test_status_quo(self, capsys):
+        from emg3d_tpu.meshes import get_origin_widths
+        get_origin_widths(frequency=0.2, properties=[0.3, 1, 50],
+                          center=-950, domain=[-2000, -1000], verb=1)
+        out, _ = capsys.readouterr()
+        assert "Skin depth     [m] : 616 / 1125 / 7958" in out
+        assert "Survey dom. DS [m] : -2000 - -1000" in out
+        assert "Comp. dom. DC  [m] : -9071 - 49000" in out
+        assert "Final extent   [m] : -10310 - 52091" in out
+        assert "Cell widths    [m] : 205 / 205 / 12083" in out
+        assert "Number of cells    : 32 (7 / 25 / 0)" in out
+        assert "Max stretching     : 1.000 (1.000) / 1.290" in out
+
+    def test_domain_vector_distance(self):
+        from emg3d_tpu.meshes import get_origin_widths
+        x01, hx1 = get_origin_widths(1/np.pi, 9*self.mu0, 0.0, [-1, 1],
+                                     stretching=[1, 1])
+        x02, hx2 = get_origin_widths(1/np.pi, 9*self.mu0, 0.0,
+                                     vector=np.array([-1, 0, 1]),
+                                     stretching=[1, 1])
+        np.testing.assert_allclose(x01, x02)
+        np.testing.assert_allclose(hx1, hx2)
+        x03, hx3 = get_origin_widths(1/np.pi, 9*self.mu0, 0.0,
+                                     distance=[1, 1],
+                                     stretching=[1, 1])
+        np.testing.assert_allclose(x01, x03)
+        np.testing.assert_allclose(hx1, hx3)
+
+    def test_seasurface(self):
+        from emg3d_tpu.meshes import get_origin_widths
+        x01, hx1 = get_origin_widths(1/np.pi, 9*self.mu0, 0.0, [-1, 1],
+                                     stretching=[1, 1])
+        x02, hx2 = get_origin_widths(1/np.pi, 9*self.mu0, -0.5, [-1, 0],
+                                     seasurface=0.0, stretching=[1, 1])
+        np.testing.assert_allclose(x01, x02)
+        np.testing.assert_allclose(hx1, hx2)
+
+    def test_errors(self, capsys):
+        from emg3d_tpu.meshes import get_origin_widths
+        with pytest.raises(TypeError, match='Unexpected '):
+            get_origin_widths(1, 1, 0, [-1, 1], unknown=True)
+        with pytest.raises(ValueError, match="At least one of `domain"):
+            get_origin_widths(1, 1, 0)
+        with pytest.raises(ValueError,
+                           match="Provided vector MUST at least"):
+            get_origin_widths(1, 1, 0, [-1, 1], np.array([0, 1, 2]))
+        with pytest.raises(ValueError,
+                           match="The `seasurface` but be bigger"):
+            get_origin_widths(1, 1, 0, [-1, 1], seasurface=-2)
+        with pytest.raises(RuntimeError, match="No suitable grid "):
+            get_origin_widths(1, 1, 0, [-100, 100], cell_numbers=[1])
+        out = get_origin_widths(1, 1, 0, [-100, 100], cell_numbers=[1],
+                                raise_error=False, verb=1)
+        outstr, _ = capsys.readouterr()
+        assert out[0] is None and out[1] is None
+        assert "No suitable grid found; relax your criteria." in outstr
+
+    def test_stretching_note(self, capsys):
+        from emg3d_tpu.meshes import get_origin_widths
+        get_origin_widths(1/np.pi, 9*self.mu0, -0.2, [-1, 2],
+                          stretching=[1, 1], seasurface=1.2, verb=3)
+        out, _ = capsys.readouterr()
+        assert "Note: Stretching in DS >> 1.0.\nThe reason " in out
+
+    def test_construct_mesh_info(self):
+        grid = construct_mesh(
+            frequency=1.0, properties=1.0, center=(0, 0, 0),
+            domain=([-800, 800], [-800, 800], [-800, 800]))
+        assert "== GRIDDING IN X ==" in grid.construct_mesh_info
+        assert "== GRIDDING IN Z ==" in grid.construct_mesh_info
