@@ -68,9 +68,17 @@ __all__ = ['gauss_seidel_point_pallas', 'supported', 'enabled']
 
 
 def supported(e):
-    """Pallas path requires the split-pair representation, 3-D arrays."""
-    return (all(isinstance(c, cx.C2) for c in e)
-            and e[0].re.ndim == 3)
+    """Pallas path requires the split-pair representation, 3-D arrays,
+    and a VMEM-feasible minimal tile: the fused color update keeps ~52
+    (XL, tyl, Zp) planes live (21 slab arrays + Mosaic vector-stack
+    temporaries); x/y tile freely but z does not, so only an enormous
+    z extent (≳2500 cells) can exceed the 16 MB scoped-vmem budget."""
+    if not (all(isinstance(c, cx.C2) for c in e)
+            and e[0].re.ndim == 3):
+        return False
+    _, _, nz1 = e[0].re.shape
+    Zp = -(-nz1 // 128) * 128
+    return 52 * 4 * 8 * Zp * 4 <= 14 * 1024 * 1024
 
 
 _ENABLED = None
@@ -164,41 +172,59 @@ def slab_residual(e, s, st, w, ih):
     return rx, ry, rz
 
 
-def _kernel(colors_ref, *refs, tx, nx, nyz):
-    """One (color-step, tile) unit of the fused smoother.
+def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
+    """One (color-step, x-tile, y-tile) unit of the fused smoother.
 
-    refs layout: HBM inputs [estack (6,·), pstack (15,·), ihx (·,1,Zp)],
-    2 VMEM inputs [ihy, ihz], 1 HBM output (aliased estack),
-    3 VMEM scratch [es, ps, ihxs], 1 DMA semaphore array.
+    refs layout: HBM inputs [estack (6,·), pstack (15,·),
+    ihx (·,1,Zp), ihy (1,·,Zp)], 1 VMEM input [ihz], 1 HBM output
+    (aliased estack), 4 VMEM scratch [es, ps, ihxs, ihys], 1 DMA
+    semaphore array.
+
+    The y axis tiles exactly like x (slab = owned rows ± the stencil
+    halo; global-coordinate masks; whole-slab writeback is race-free
+    because grid steps serialize and every e-row receives a deposit
+    from at most one active node per color).  ``tyl`` is the slab
+    y-extent; the owned rows per tile are ``tyl - 3``.
 
     pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
     styi, stzr, stzi, wx, wy, wz].
     """
     ny, nz = nyz
     XL = tx + 3
-    _e_hbm, p_hbm, ihx_hbm = refs[0], refs[1], refs[2]
-    ihy_r, ihz_r = refs[3], refs[4]
+    _e_hbm, p_hbm, ihx_hbm, ihy_hbm = refs[0], refs[1], refs[2], refs[3]
+    ihz_r = refs[4]
     e_out = refs[5]
-    es, ps, ihxs = refs[6], refs[7], refs[8]
-    sems = refs[9]
+    es, ps, ihxs, ihys = refs[6], refs[7], refs[8], refs[9]
+    sems = refs[10]
 
     step = pl.program_id(0)
-    tile = pl.program_id(1)
+    xtile = pl.program_id(1)
+    ytile = pl.program_id(2)
 
-    # Tile ownership: interior nodes [own_lo, own_hi) ⊆ [1, nx).
-    own_lo = 1 + tile * tx
+    # Tile ownership: interior nodes [own_lo, own_hi) ⊆ [1, nx),
+    # y rows [oy_lo, oy_hi) ⊆ [1, ny).  ``ty`` is a static multiple of
+    # 8 so the slab offset ytile·ty is PROVABLY sublane-aligned (4-D
+    # HBM arrays are (8,128)-tiled: unaligned dynamic y offsets do not
+    # lower); the slab carries the stencil halo inside its tyl − ty
+    # slack rows, and the driver pads Yp so no end-clipping is needed.
+    own_lo = 1 + xtile * tx
     own_hi = jnp.minimum(own_lo + tx, nx)
     x0 = jnp.minimum(own_lo - 1, (nx + 2) - XL)
+    oy_lo = 1 + ytile * ty
+    oy_hi = jnp.minimum(oy_lo + ty, ny)
+    y0 = ytile * ty
 
     # The electric field is read from the OUTPUT ref (it aliases the
     # input): grid steps must see the previous steps' writes.
     cps = [
-        pltpu.make_async_copy(e_out.at[:, pl.ds(x0, XL)], es,
-                              sems.at[0]),
-        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps,
-                              sems.at[1]),
+        pltpu.make_async_copy(
+            e_out.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], es, sems.at[0]),
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], ps, sems.at[1]),
         pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
                               sems.at[2]),
+        pltpu.make_async_copy(ihy_hbm.at[:, pl.ds(y0, tyl)], ihys,
+                              sems.at[3]),
     ]
     for cp in cps:
         cp.start()
@@ -218,7 +244,7 @@ def _kernel(colors_ref, *refs, tx, nx, nyz):
     wy = ps[13]
     wz = ps[14]
     ihx = ihxs[:]              # (XL, 1, Zp), x-varying, lane-replicated
-    ihy = ihy_r[:]             # (1, Yp, 1)
+    ihy = ihys[:]              # (1, tyl, Zp), y-varying slab
     ihz = ihz_r[:]             # (1, 1, Zp)
 
     rx, ry, rz = slab_residual((ex, ey, ez), (sx, sy, sz),
@@ -267,11 +293,12 @@ def _kernel(colors_ref, *refs, tx, nx, nyz):
     pz_ = color // 4
     sh = rb[0].re.shape
     gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+    gy = y0 + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
     kk = jax.lax.broadcasted_iota(jnp.int32, sh, 2)
-    mask = ((gx % 2 == px_) & (jj % 2 == py_) & (kk % 2 == pz_) &
+    mask = ((gx % 2 == px_) & (gy % 2 == py_) & (kk % 2 == pz_) &
             (gx >= own_lo) & (gx < own_hi) &
-            (jj >= 1) & (jj <= ny - 1) & (kk >= 1) & (kk <= nz - 1))
+            (gy >= oy_lo) & (gy < oy_hi) &
+            (gy <= ny - 1) & (kk >= 1) & (kk <= nz - 1))
     dm = [cx.where(mask, d, 0) for d in delta]
 
     # --- scatter-add: each active node deposits into the two adjacent
@@ -285,21 +312,25 @@ def _kernel(colors_ref, *refs, tx, nx, nyz):
         es[i + 1] = a.im
 
     # Whole-slab writeback (non-owned rows are unmodified = no-op).
-    out_cp = pltpu.make_async_copy(es, e_out.at[:, pl.ds(x0, XL)],
-                                   sems.at[0])
+    out_cp = pltpu.make_async_copy(
+        es, e_out.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], sems.at[0])
     out_cp.start()
     out_cp.wait()
 
 
-def padded_dims(shape):
-    """(Yp, Zp, NXP) of the padded global-coordinate layout."""
+def padded_dims(shape, min_yp=0):
+    """(Yp, Zp, NXP) of the padded global-coordinate layout.
+
+    ``min_yp`` extends the y padding (y-tiled kernels size Yp so the
+    last tile's aligned slab needs no end-clipping).
+    """
     nx, ny, nz = shape
-    Yp = -(-(ny + 1) // 8) * 8
+    Yp = max(-(-(ny + 1) // 8) * 8, -(-min_yp // 8) * 8)
     Zp = -(-(nz + 1) // 128) * 128
     return Yp, Zp, nx + 2
 
 
-def pack_state(e, s, arrays, shape):
+def pack_state(e, s, arrays, shape, min_yp=0):
     """Embed fields + model parameters in the padded layout.
 
     Returns (estack (6,·), pstack (15,·), ihx, ihy, ihz, (Yp, Zp, NXP)).
@@ -310,7 +341,7 @@ def pack_state(e, s, arrays, shape):
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
     dt = e[0].re.dtype
-    Yp, Zp, NXP = padded_dims(shape)
+    Yp, Zp, NXP = padded_dims(shape, min_yp)
 
     # Field-independent precomputation (XLA, once per smoothing call).
     stx_, sty_, stz_ = stencil.eta_edge_sums(eta_x, eta_y, eta_z)
@@ -334,8 +365,10 @@ def pack_state(e, s, arrays, shape):
     ])
     ihx_p = jnp.zeros((NXP, 1, Zp), dt).at[:nx, 0, :].set(
         jnp.broadcast_to((1.0 / hx.astype(dt))[:, None], (nx, Zp)))
-    ihy_p = jnp.zeros((1, Yp, 1), dt).at[0, :ny, 0].set(
-        1.0 / hy.astype(dt))
+    # ihy z-broadcast so y-tiled kernels can DMA (1, tyl, Zp) slabs at
+    # free dynamic y offsets (HBM 3-D arrays are (1,128)-tiled).
+    ihy_p = jnp.zeros((1, Yp, Zp), dt).at[0, :ny, :].set(
+        jnp.broadcast_to((1.0 / hy.astype(dt))[:, None], (ny, Zp)))
     ihz_p = jnp.zeros((1, 1, Zp), dt).at[0, 0, :nz].set(
         1.0 / hz.astype(dt))
     return estack, pstack, ihx_p, ihy_p, ihz_p, (Yp, Zp, NXP)
@@ -350,11 +383,34 @@ def unpack_efield(out, shapes):
     return crop(0, shapes[0]), crop(2, shapes[1]), crop(4, shapes[2])
 
 
+def _point_tiles(nx, ny, Yp, Zp):
+    """(tx, tyl, ty) under the VMEM budget: ~52 live (XL, tyl, Zp)
+    planes (21 slab arrays + Mosaic vector-stack temporaries;
+    calibrated on v5e — tx=4 at 64³ full-y is measured-best, tx=5
+    spills).  Full-y slabs when they fit; otherwise y tiles of a
+    multiple-of-8 ``ty`` owned rows + 8 slack rows carrying the halo
+    (sublane-aligned slab offsets: see _kernel).
+    """
+    budget = 14 * 1024 * 1024
+    xl = budget // (52 * Yp * Zp * 4)
+    if xl >= 7 or Yp <= 16:
+        return max(1, min(int(xl) - 3, nx - 1)), Yp, ny
+    for ty in [32, 24, 16, 8]:
+        tyl = ty + 8
+        if tyl > Yp:
+            continue
+        xl = budget // (52 * tyl * Zp * 4)
+        if xl >= 7 or ty == 8:
+            return max(1, min(int(xl) - 3, nx - 1)), tyl, ty
+    return 1, 16, 8
+
+
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_seq',
-                                    '_tx'))
+                                    '_tx', '_tyl'))
 def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
-                              interpret=False, _seq=None, _tx=None):
+                              interpret=False, _seq=None, _tx=None,
+                              _tyl=None):
     """nu sweeps of 8-color node-block GS as one fused Pallas call.
 
     e, s : tuples of cx.C2 field components (split re/im, float32).
@@ -363,8 +419,7 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
     """
     nx, ny, nz = shape
     dt = e[0].re.dtype
-    (estack, pstack, ihx_p, ihy_p, ihz_p,
-     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape)
+    Yp0, Zp0, _ = padded_dims(shape)
 
     # Color sequence with per-sweep order reversal.
     if _seq is not None:
@@ -375,33 +430,46 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
             seq.extend(range(8) if it % 2 == 0 else range(7, -1, -1))
     colors = jnp.asarray(np.array(seq, dtype=np.int32))
 
-    # Tile size: keep the slab working set under a VMEM budget.
-    plane = Yp * Zp * 4
-    budget = 14 * 1024 * 1024   # measured-best on v5e (tx=4 at 64^3)
-    tx = min(nx - 1, max(2, budget // (90 * plane)))
+    # Tile sizes: keep the slab working set under the VMEM budget;
+    # large y-z planes (128³-class) tile the y axis too.
+    tx, tyl, ty = _point_tiles(nx, ny, Yp0, Zp0)
     if _tx is not None:
-        tx = min(_tx, nx - 1)
-    tx = max(1, tx)
-    n_tiles = -(-(nx - 1) // tx)
+        tx = max(1, min(_tx, nx - 1))
+    if _tyl is not None:
+        if _tyl < 16 or _tyl % 8:
+            raise ValueError("_tyl must be a multiple of 8, >= 16.")
+        tyl = _tyl
+        ty = tyl - 8
+    n_xtiles = -(-(nx - 1) // tx)
+    n_ytiles = 1 if ty >= ny else max(1, -(-(ny - 1) // ty))
     XL = tx + 3
 
+    # Pad Yp so the LAST y tile's aligned slab [ytile·ty, +tyl) fits
+    # without clipping (pad rows are zero and masked everywhere).
+    min_yp = (n_ytiles - 1) * ty + tyl if n_ytiles > 1 else 0
+    (estack, pstack, ihx_p, ihy_p, ihz_p,
+     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape, min_yp=min_yp)
+    tyl = min(tyl, Yp)
+
     scratch_shapes = [
-        pltpu.VMEM((6, XL, Yp, Zp), dt),     # e slab stack
-        pltpu.VMEM((15, XL, Yp, Zp), dt),    # parameter slab stack
+        pltpu.VMEM((6, XL, tyl, Zp), dt),    # e slab stack
+        pltpu.VMEM((15, XL, tyl, Zp), dt),   # parameter slab stack
         pltpu.VMEM((XL, 1, Zp), dt),         # ihx slab
-        pltpu.SemaphoreType.DMA((3,)),
+        pltpu.VMEM((1, tyl, Zp), dt),        # ihy slab
+        pltpu.SemaphoreType.DMA((4,)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(len(seq), n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        grid=(len(seq), n_xtiles, n_ytiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch_shapes,
     )
 
-    kernel = functools.partial(_kernel, tx=tx, nx=nx, nyz=(ny, nz))
+    kernel = functools.partial(_kernel, tx=tx, tyl=tyl, ty=ty, nx=nx,
+                               nyz=(ny, nz))
 
     out = pl.pallas_call(
         kernel,

@@ -34,15 +34,20 @@ def _setup(shape, seed=3):
     return e, s, par
 
 
-@pytest.mark.parametrize('shape,tx', [((12, 8, 8), None),
-                                      ((21, 8, 8), 5),
-                                      ((16, 10, 6), 4)])
-def test_pallas_matches_xla(shape, tx):
+@pytest.mark.parametrize('shape,tx,tyl', [
+    ((12, 8, 8), None, None),
+    ((21, 8, 8), 5, None),
+    ((16, 10, 6), 4, None),
+    # y-tiled slabs (the 128³-class layout): 8 owned rows per tile.
+    ((12, 20, 8), 3, 16),
+    ((10, 17, 6), None, 16),
+])
+def test_pallas_matches_xla(shape, tx, tyl):
     e, s, par = _setup(shape)
     assert supported(e)
     ref = smoothers.gauss_seidel_point(*e, *s, *par, nu=2)
     out = gauss_seidel_point_pallas(e, s, par, nu=2, shape=shape,
-                                    interpret=True, _tx=tx)
+                                    interpret=True, _tx=tx, _tyl=tyl)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(
             np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
