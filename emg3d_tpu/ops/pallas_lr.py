@@ -57,7 +57,8 @@ from .coeffs import node_coefficients
 from .pallas_gs import (pack_state, unpack_efield, padded_dims,
                         slab_residual, _r)
 
-__all__ = ['line_relaxation_pallas', 'line_factors', 'supported']
+__all__ = ['line_relaxation_pallas', 'line_factors', 'supported',
+           'supported_shape', 'factors_nbytes']
 
 # Factor-stack plane order (indices into the NF=46 plane axis; each
 # entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
@@ -70,16 +71,38 @@ _NF = 2 * (len(_LORD) + 5 + len(_BORD))      # 46
 
 
 def supported(e, shape):
-    """Pallas line path: C2 3-D fields, scan axis long enough to chunk."""
+    """Pallas line path: C2 3-D fields + x-axis shape/VMEM feasibility."""
     return (all(isinstance(c, cx.C2) for c in e)
             and e[0].re.ndim == 3
-            and shape[0] >= 8 and shape[1] >= 3 and shape[2] >= 3)
+            and supported_shape(shape, 0))
 
 
 def supported_shape(shape, axis):
-    """Shape-only gate for lines along ``axis`` (rotated-frame dims)."""
+    """Shape-only gate for lines along ``axis`` (rotated-frame dims).
+
+    Besides the minimum extents, both kernels must fit the 16 MB
+    scoped-vmem budget at their minimum tile sizes: the residual
+    kernel keeps ~44 (XL, Yp, Zp) planes live, and the Thomas kernel's
+    full-x substitution storage (es/rs/zs + factor chunks) scales with
+    nx·ty·Zp.  Larger grids fall back to the XLA path (128³-class
+    support needs y-tiled residual slabs and streamed zs — tracked).
+    """
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
-    return rs[0] >= 8 and rs[1] >= 3 and rs[2] >= 3
+    if not (rs[0] >= 8 and rs[1] >= 3 and rs[2] >= 3):
+        return False
+    Yp, Zp, NXP = padded_dims(rs)
+    budget = 14 * 1024 * 1024
+    res_ok = 44 * 3 * Yp * Zp * 4 <= budget
+    th_ok = ((12 * NXP + 10 * rs[0]) * 8 * Zp
+             + 2 * 8 * _NF * 8 * Zp) * 4 <= budget
+    return res_ok and th_ok
+
+
+def factors_nbytes(shape, axis, itemsize=4):
+    """HBM bytes of the factor stack for lines along ``axis``."""
+    rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
+    Yp, Zp, _ = padded_dims(rs)
+    return rs[0] * _NF * Yp * Zp * itemsize
 
 
 def _ri(v):

@@ -480,7 +480,7 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
             from .ops import pallas_lr
             e = pallas_lr.line_relaxation_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
-                axis=ax, fstack=fs)
+                axis=ax, fstack=None if isinstance(fs, tuple) else fs)
         else:
             e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
                                           axis=ax)
@@ -588,12 +588,22 @@ def _constrain(x, mesh):
     return constrain(x, mesh)
 
 
+# A cached line-factor stack larger than this recomputes inline in the
+# smoothing jit instead (256³-class grids: ~4.9 GB per (level, axis)
+# would keep three axes' caches > HBM; the elimination is one scan per
+# smoothing call, like the XLA path always paid).
+_FSTACK_CACHE_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_BYTES',
+                                         1_500_000_000))
+
+
 def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
     """Line-factor stacks for the Pallas path (None when inapplicable).
 
     Lazily computed once per (level, axis) and cached on the level —
     the factors are model-dependent only, so they are shared across
-    all colors, sweeps, cycles and solves on this hierarchy.
+    all colors, sweeps, cycles and solves on this hierarchy.  An entry
+    of ``()`` (empty pytree) means: run the Pallas kernel but compute
+    the factors inline (stack too large to keep cached in HBM).
     """
     if mesh is not None or batch:
         return None
@@ -609,8 +619,9 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
         if not pallas_lr.supported_shape(lev.shape, ax):
             continue
         if ax not in lev.fstacks:
-            lev.fstacks[ax] = pallas_lr.line_factors(
-                lev.arrays, lev.shape, ax)
+            nbytes = pallas_lr.factors_nbytes(lev.shape, ax)
+            lev.fstacks[ax] = () if nbytes > _FSTACK_CACHE_BYTES \
+                else pallas_lr.line_factors(lev.arrays, lev.shape, ax)
         out[ax] = lev.fstacks[ax]
         any_ax = True
     return tuple(out) if any_ax else None
@@ -1308,6 +1319,7 @@ def krylov(ctx, var):
 
     bnorm = float(_norm(*s))
     atol = max(float(var.tol) * bnorm, 1e-30)
+    l2_final = None
 
     try:
         if var.sslsolver == 'bicgstab' and ctx.split and \
@@ -1318,18 +1330,41 @@ def krylov(ctx, var):
             # scaling keeps the f32 recurrence scalars (4th powers of
             # residual magnitudes in the diagnostics) above the f32
             # underflow threshold — same fix as the batched path.
+            #
+            # Iterative refinement around the Krylov loop: BiCGSTAB's
+            # RECURSIVE residual converges below tol, but with f32
+            # solution storage the TRUE residual floors at a few e-6
+            # (measured 4.3e-6 at 32³) — so the solution accumulates
+            # as a two-float (hi, lo) pair, each pass solves the
+            # correction system for the double-single-evaluated true
+            # residual, and convergence is judged on THAT.
             sc = 1.0 / max(bnorm, 1e-300)
+            from .ops.dsres import residual_ds
             s_n = tuple(c * sc for c in s)
-            x_n = tuple(c * sc for c in x)
+            xhi = tuple(c * sc for c in x)
+            xlo = tuple(cx.zeros_like(c) for c in xhi)
+            atol_n = max(float(var.tol), 1e-30)
 
             def precond_fast(r):
                 return _precond_fixed_cycles(ctx, var, r, batch=False)
 
-            x, info = _bicgstab_device(matvec, precond_fast, s_n, x_n,
-                                       max(float(var.tol), 1e-30),
-                                       var.ssl_maxit, callback,
-                                       l2scale=bnorm)
-            x = tuple(c * bnorm for c in x)
+            info = 0
+            for _pass in range(4):
+                r0 = residual_ds(xhi, xlo, s_n, arrays)
+                rnorm_true = float(_norm(*r0))
+                if rnorm_true <= atol_n or info != 0 or _pass == 3:
+                    if rnorm_true > atol_n and info == 0:
+                        info = var.ssl_maxit
+                    break
+                zero = tuple(cx.zeros_like(c) for c in xhi)
+                dx, info = _bicgstab_device(
+                    matvec, precond_fast, r0, zero, atol_n,
+                    var.ssl_maxit, callback, l2scale=bnorm)
+                xhi, xlo = _ds_accumulate(xhi, xlo, dx)
+
+            x = tuple(c * bnorm for c in xhi)
+            ctx.e_lo = tuple(c * bnorm for c in xlo)
+            l2_final = rnorm_true * bnorm
         elif var.sslsolver == 'bicgstab':
             x, info = _bicgstab(matvec, precond, s, x, atol,
                                 var.ssl_maxit, callback)
@@ -1342,6 +1377,8 @@ def krylov(ctx, var):
     except _ConvergenceError:
         info = -1
         x = tuple(cx.zeros_like(c) for c in s)
+        ctx.e_lo = None
+        l2_final = None
         var.exit_message += " (returned field is zero)"
 
     pre = "\n   > "
@@ -1356,7 +1393,11 @@ def krylov(ctx, var):
     var.cprint(pre + var.exit_message, 2)
 
     ctx.e = x
-    var.l2 = residual_norm(x, s, arrays)
+    # The two-float path reports the double-single-evaluated true
+    # residual (the plain f32 evaluation would report its own noise
+    # floor); the host-scalar paths evaluate as before.
+    var.l2 = l2_final if l2_final is not None \
+        else residual_norm(x, s, arrays)
     return x
 
 

@@ -86,6 +86,20 @@ def test_solver_dispatches_pallas_line(monkeypatch):
     # Factor stacks are cached on the level.
     assert 0 in lev.fstacks
 
+    # 256³-class guard: an over-budget stack degrades to the inline
+    # sentinel () and the dispatch recomputes factors in-jit — same
+    # result, no HBM cache.
+    monkeypatch.setattr(solver, '_FSTACK_CACHE_BYTES', 0)
+    lev.fstacks.clear()
+    fst2 = solver._level_fstacks(lev, lr_dir=1)
+    assert fst2[0] == ()
+    out2 = solver._smooth(e, s, lev.arrays, nu=2, lr_dir=1,
+                          shape=shape, fstacks=fst2)
+    for a, b in zip(out, out2):
+        np.testing.assert_allclose(np.asarray(cx.tocomplex(b)),
+                                   np.asarray(cx.tocomplex(a)),
+                                   atol=1e-6)
+
 
 def test_supported_gate():
     e, s, par = _setup((12, 8, 8))

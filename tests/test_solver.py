@@ -105,6 +105,30 @@ class TestHomogeneousVTI:
         assert info['rel_error'] < 1e-6
         assert _rel(e, golden) < 1e-5
 
+    def test_bicgstab_f32_true_1e6(self, setup, monkeypatch):
+        """f32 Krylov path reaches a TRUE (not recursive) 1e-6.
+
+        BiCGSTAB's recursive residual converges below tol while the
+        f32-stored solution floors at ~4e-6 true; the iterative
+        refinement around the device Krylov loop (two-float x +
+        double-single true residual) must close that gap.
+        """
+        monkeypatch.setenv('EMG3D_TPU_SPLIT', '1')
+        monkeypatch.setenv('EMG3D_TPU_PIPELINE', '1')
+        reg, grid, model, sfield = setup
+        sf32 = SourceField(
+            np.asarray(sfield.fx).astype(np.complex64),
+            np.asarray(sfield.fy).astype(np.complex64),
+            np.asarray(sfield.fz).astype(np.complex64),
+            frequency=sfield._frequency)
+        e, info = solve(grid, model, sf32, cycle='F',
+                        sslsolver='bicgstab', verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['rel_error'] < 1e-6
+        # The reported error must be the f64-verifiable truth.
+        golden = helpers.get_field(reg, 'res>bicresult', grid)
+        assert _rel(e, golden) < 2e-5
+
     def test_restart_equivalence(self, setup):
         """2x2 cycles resumed == 4 cycles (reference test_solver 180-186).
         """
