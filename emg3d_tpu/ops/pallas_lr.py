@@ -57,8 +57,8 @@ from .coeffs import node_coefficients
 from .pallas_gs import (pack_state, unpack_efield, padded_dims,
                         slab_residual, _r)
 
-__all__ = ['line_relaxation_pallas', 'line_factors', 'supported',
-           'supported_shape', 'factors_nbytes']
+__all__ = ['line_relaxation_pallas', 'line_factors', 'rotate_arrays',
+           'supported', 'supported_shape', 'factors_nbytes']
 
 # Factor-stack plane order (indices into the NF=46 plane axis; each
 # entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
@@ -120,16 +120,12 @@ def line_factors(arrays, shape, axis):
     stack is built in the rotated frame that
     :func:`line_relaxation_pallas` runs the kernel in.
     """
-    from .smoothers import _line_blocks_x, _rot_fwd, _rot_bwd
+    from .smoothers import _line_blocks_x
 
-    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    arrays = rotate_arrays(tuple(arrays), axis)
     if axis == 1:
-        arrays = (_rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
-                  _rot_fwd(zeta), hy, hz, hx)
         shape = (shape[1], shape[2], shape[0])
     elif axis == 2:
-        arrays = (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
-                  _rot_bwd(zeta), hz, hx, hy)
         shape = (shape[2], shape[0], shape[1])
 
     nx, ny, nz = shape
@@ -497,32 +493,52 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, interpret=False,
     return unpack_efield(estack, (e[0].shape, e[1].shape, e[2].shape))
 
 
+def rotate_arrays(arrays, axis):
+    """Model parameters in the rotated frame of lines along ``axis``.
+
+    Field-independent: the solver caches this per (level, axis) so
+    y/z-line smoothing calls only transpose the (changing) fields.
+    """
+    from .smoothers import _rot_fwd, _rot_bwd
+
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    if axis == 0:
+        return tuple(arrays)
+    if axis == 1:
+        return (_rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
+                _rot_fwd(zeta), hy, hz, hx)
+    if axis == 2:
+        return (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
+                _rot_bwd(zeta), hz, hx, hy)
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
+
+
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,
-                           interpret=None, **tune):
+                           arrays_rot=None, interpret=None, **tune):
     """nu sweeps of 4-color line relaxation along ``axis`` (0/1/2).
 
     The y/z variants run the x kernel in a cyclically rotated frame
     (exact Yee symmetry, like :func:`smoothers.line_relaxation`);
     ``fstack`` must then be built by :func:`line_factors` for the SAME
-    axis (it is computed in the rotated frame there).  ``interpret``
-    defaults to the Pallas interpreter off-TPU (CPU test coverage of
-    the solver dispatch) and to hardware lowering on TPU.
+    axis (it is computed in the rotated frame there), and
+    ``arrays_rot`` may supply :func:`rotate_arrays`' result to skip
+    the per-call parameter transposes.  ``interpret`` defaults to the
+    Pallas interpreter off-TPU (CPU test coverage of the solver
+    dispatch) and to hardware lowering on TPU.
     """
     from .smoothers import _rot_fwd, _rot_bwd
 
     if interpret is None:
         interpret = jax.default_backend() != 'tpu'
+    ar = tuple(arrays_rot) if arrays_rot is not None \
+        else rotate_arrays(arrays, axis)
 
-    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
     if axis == 0:
-        return _gs_line_x_pallas(tuple(e), tuple(s), tuple(arrays),
-                                 fstack, nu, shape,
-                                 interpret=interpret, **tune)
+        return _gs_line_x_pallas(tuple(e), tuple(s), ar, fstack, nu,
+                                 shape, interpret=interpret, **tune)
     if axis == 1:
         ee = (_rot_fwd(e[1]), _rot_fwd(e[2]), _rot_fwd(e[0]))
         ss = (_rot_fwd(s[1]), _rot_fwd(s[2]), _rot_fwd(s[0]))
-        ar = (_rot_fwd(eta_y), _rot_fwd(eta_z), _rot_fwd(eta_x),
-              _rot_fwd(zeta), hy, hz, hx)
         out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
                                 (shape[1], shape[2], shape[0]),
                                 interpret=interpret, **tune)
@@ -530,8 +546,6 @@ def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,
     if axis == 2:
         ee = (_rot_bwd(e[2]), _rot_bwd(e[0]), _rot_bwd(e[1]))
         ss = (_rot_bwd(s[2]), _rot_bwd(s[0]), _rot_bwd(s[1]))
-        ar = (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
-              _rot_bwd(zeta), hz, hx, hy)
         out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
                                 (shape[2], shape[0], shape[1]),
                                 interpret=interpret, **tune)

@@ -475,12 +475,15 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
-        fs = fstacks[ax] if (pallas_ok and fstacks is not None) else None
-        if fs is not None:
+        ent = fstacks[ax] if (pallas_ok and fstacks is not None) \
+            else None
+        if ent is not None:
+            fs, rot = ent
             from .ops import pallas_lr
             e = pallas_lr.line_relaxation_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
-                axis=ax, fstack=None if isinstance(fs, tuple) else fs)
+                axis=ax, fstack=None if isinstance(fs, tuple) else fs,
+                arrays_rot=rot)
         else:
             e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
                                           axis=ax)
@@ -620,8 +623,14 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
             continue
         if ax not in lev.fstacks:
             nbytes = pallas_lr.factors_nbytes(lev.shape, ax)
-            lev.fstacks[ax] = () if nbytes > _FSTACK_CACHE_BYTES \
+            fs = () if nbytes > _FSTACK_CACHE_BYTES \
                 else pallas_lr.line_factors(lev.arrays, lev.shape, ax)
+            # Rotated-frame parameters are field-independent too:
+            # cache them so y/z-line calls only transpose the fields.
+            rot = None if ax == 0 else \
+                jax.jit(pallas_lr.rotate_arrays,
+                        static_argnames='axis')(lev.arrays, axis=ax)
+            lev.fstacks[ax] = (fs, rot)
         out[ax] = lev.fstacks[ax]
         any_ax = True
     return tuple(out) if any_ax else None
@@ -1705,6 +1714,11 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
     info_dict : dict (if return_info=True)
     """
     sharding = kwargs.pop('sharding', None)
+    # Device-level tracing: profile='dir' (or EMG3D_TPU_PROFILE=dir)
+    # wraps the solve in jax.profiler.trace — open the dump with
+    # TensorBoard/xprof to see per-kernel device timelines.
+    profile = kwargs.pop('profile', None) or \
+        os.environ.get('EMG3D_TPU_PROFILE')
     var = MGParameters(
         verb=verb, cycle=cycle, sslsolver=sslsolver,
         linerelaxation=linerelaxation, semicoarsening=semicoarsening,
@@ -1761,11 +1775,15 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
     ctx = _SolveContext(grid, vmodel, sfield, efield, var,
                         sharding=sharding)
 
+    import contextlib
+    prof = jax.profiler.trace(profile) if profile \
+        else contextlib.nullcontext()
     try:
-        if var.sslsolver:
-            krylov(ctx, var)
-        else:
-            multigrid(ctx, var)
+        with prof:
+            if var.sslsolver:
+                krylov(ctx, var)
+            else:
+                multigrid(ctx, var)
     except _ConvergenceError:
         pass
 

@@ -86,13 +86,25 @@ def test_solver_dispatches_pallas_line(monkeypatch):
     # Factor stacks are cached on the level.
     assert 0 in lev.fstacks
 
+    # Rotated axis: the cache also carries pre-rotated parameters.
+    fst_y = solver._level_fstacks(lev, lr_dir=2)
+    assert fst_y[1] is not None and fst_y[1][1] is not None
+    out_y = solver._smooth(e, s, lev.arrays, nu=1, lr_dir=2,
+                           shape=shape, fstacks=fst_y)
+    ref_y = smoothers.line_relaxation(*e, *s, *lev.arrays, nu=1,
+                                      axis=1)
+    for a, b in zip(ref_y, out_y):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=2e-5)
+
     # 256³-class guard: an over-budget stack degrades to the inline
     # sentinel () and the dispatch recomputes factors in-jit — same
     # result, no HBM cache.
     monkeypatch.setattr(solver, '_FSTACK_CACHE_BYTES', 0)
     lev.fstacks.clear()
     fst2 = solver._level_fstacks(lev, lr_dir=1)
-    assert fst2[0] == ()
+    assert fst2[0][0] == ()
     out2 = solver._smooth(e, s, lev.arrays, nu=2, lr_dir=1,
                           shape=shape, fstacks=fst2)
     for a, b in zip(out, out2):
