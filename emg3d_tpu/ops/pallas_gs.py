@@ -71,14 +71,15 @@ def supported(e):
     """Pallas path requires the split-pair representation, 3-D arrays,
     and a VMEM-feasible minimal tile: the fused color update keeps ~52
     (XL, tyl, Zp) planes live (21 slab arrays + Mosaic vector-stack
-    temporaries); x/y tile freely but z does not, so only an enormous
-    z extent (≳2500 cells) can exceed the 16 MB scoped-vmem budget."""
+    temporaries); x/y tile freely but z does not, so only a very long
+    z extent (≳1100 cells) can exceed the 16 MB scoped-vmem budget.
+    The minimal configuration matches _point_tiles: XL=4, tyl=16."""
     if not (all(isinstance(c, cx.C2) for c in e)
             and e[0].re.ndim == 3):
         return False
     _, _, nz1 = e[0].re.shape
     Zp = -(-nz1 // 128) * 128
-    return 52 * 4 * 8 * Zp * 4 <= 14 * 1024 * 1024
+    return 52 * 4 * 16 * Zp * 4 <= 14 * 1024 * 1024
 
 
 _ENABLED = None

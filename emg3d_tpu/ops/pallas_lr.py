@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .. import cx
 from .blocksolve import block_tridiag_factor, ldl_solve_factored
 from .coeffs import node_coefficients
+from .dsres import _ri
 from .pallas_gs import (pack_state, unpack_efield, padded_dims,
                         slab_residual, _r)
 
@@ -92,7 +93,9 @@ def supported_shape(shape, axis):
         return False
     Yp, Zp, NXP = padded_dims(rs)
     budget = 14 * 1024 * 1024
-    res_ok = 44 * 3 * Yp * Zp * 4 <= budget
+    # Residual kernel: minimum slab is XL = tx + 2 with tx >= 2 (the
+    # driver's floor), i.e. 4 rows of ~44 live planes.
+    res_ok = 44 * 4 * Yp * Zp * 4 <= budget
     th_ok = ((12 * NXP + 10 * rs[0]) * 8 * Zp
              + 2 * 8 * _NF * 8 * Zp) * 4 <= budget
     return res_ok and th_ok
@@ -103,12 +106,6 @@ def factors_nbytes(shape, axis, itemsize=4):
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
     Yp, Zp, _ = padded_dims(rs)
     return rs[0] * _NF * Yp * Zp * itemsize
-
-
-def _ri(v):
-    if isinstance(v, cx.C2):
-        return v.re, v.im
-    return jnp.real(v), jnp.imag(v)
 
 
 @functools.partial(jax.jit, static_argnames=('shape', 'axis'))
@@ -511,6 +508,12 @@ def rotate_arrays(arrays, axis):
         return (_rot_bwd(eta_z), _rot_bwd(eta_x), _rot_bwd(eta_y),
                 _rot_bwd(zeta), hz, hx, hy)
     raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
+
+
+#: Module-level jit (one trace cache for all solves/levels; building
+#: jits per solve would recompile on the remote backend every time).
+rotate_arrays_jit = functools.partial(jax.jit, static_argnames='axis')(
+    rotate_arrays)
 
 
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,

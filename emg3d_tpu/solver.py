@@ -628,8 +628,7 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
             # Rotated-frame parameters are field-independent too:
             # cache them so y/z-line calls only transpose the fields.
             rot = None if ax == 0 else \
-                jax.jit(pallas_lr.rotate_arrays,
-                        static_argnames='axis')(lev.arrays, axis=ax)
+                pallas_lr.rotate_arrays_jit(lev.arrays, axis=ax)
             lev.fstacks[ax] = (fs, rot)
         out[ax] = lev.fstacks[ax]
         any_ax = True
@@ -1019,11 +1018,7 @@ def _ds_accumulate(ehi, elo, delta):
     measured in CLAUDE.md item 2 (the residual floor was the f32
     representation of e, not residual evaluation).
     """
-    def two(a, b):
-        s_ = a + b
-        bp = s_ - a
-        ap = s_ - bp
-        return s_, (a - ap) + (b - bp)
+    from .ops.dsres import _two_sum as two
 
     out_hi, out_lo = [], []
     for h, l, d in zip(ehi, elo, delta):
@@ -1361,8 +1356,14 @@ def krylov(ctx, var):
             for _pass in range(4):
                 r0 = residual_ds(xhi, xlo, s_n, arrays)
                 rnorm_true = float(_norm(*r0))
-                if rnorm_true <= atol_n or info != 0 or _pass == 3:
-                    if rnorm_true > atol_n and info == 0:
+                if rnorm_true <= atol_n:
+                    # The double-single true residual is the arbiter:
+                    # a converged solution clears any stale inner-pass
+                    # code (e.g. a near-convergence breakdown).
+                    info = 0
+                    break
+                if info != 0 or _pass == 3:
+                    if info == 0:
                         info = var.ssl_maxit
                     break
                 zero = tuple(cx.zeros_like(c) for c in xhi)

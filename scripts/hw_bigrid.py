@@ -37,8 +37,12 @@ def main(n=128, lr=False):
     conf = (var.nu_pre, var.nu_coarse, var.nu_post, 'F',
             int(var.lr_dir))
     fstacks = S._level_fstacks(levels[0], conf[4]) if lr else None
-    print(f"n={n} lr={lr} levels={len(levels)} "
-          f"fstacks={'inline' if fstacks and isinstance(fstacks[0], tuple) else bool(fstacks)}",
+    if fstacks is None:
+        fmode = False
+    else:
+        ent = next(x for x in fstacks if x is not None)
+        fmode = 'inline' if isinstance(ent[0], tuple) else 'cached'
+    print(f"n={n} lr={lr} levels={len(levels)} fstacks={fmode}",
           flush=True)
 
     e, s = ctx.e, ctx.s
