@@ -1868,6 +1868,15 @@ def _norm_b(rx, ry, rz):
     return jnp.sqrt(one(rx) + one(ry) + one(rz))
 
 
+@jax.jit
+def _ds_residual_b(ehi, elo, s, arrays):
+    """Per-lane double-single residual (leading batch axis)."""
+    from .ops.dsres import residual_ds
+    return jax.vmap(residual_ds,
+                    in_axes=(0, 0, 0, _arrays_in_axes(arrays)))(
+                        ehi, elo, s, arrays)
+
+
 def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
                   linerelaxation=False, verb=2, **kwargs):
     """Solve for MANY sources at once on one grid (device-batched).
@@ -1979,15 +1988,33 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         rdt_ = cx.real_dtype_of(s[0])
         sc_ = jnp.asarray(1.0 / refe, dtype=rdt_)
         s_n = tuple(c * sc_.reshape((-1, 1, 1, 1)) for c in s)
+        atol_np = np.full(len(sfields), float(var.tol))
         atol_b = jnp.full((len(sfields),), var.tol, dtype=rdt_)
-        x, kinfo = _bicgstab_batched(matvec, prec, s_n, e, atol_b,
-                                     var.ssl_maxit, on_iter)
+
+        # Two-float iterative refinement per lane (see krylov): the
+        # recursive residual converges below tol while plain f32
+        # solution storage floors the TRUE residual at a few e-6.
+        xhi = e
+        xlo = tuple(cx.zeros_like(c) for c in e)
+        kinfo = 0
+        for _pass in range(4):
+            r0 = _ds_residual_b(xhi, xlo, s_n, fine.arrays)
+            rn_true = np.asarray(_norm_b(*r0))
+            if np.all(rn_true <= atol_np):
+                kinfo = 0
+                break
+            if kinfo != 0 or _pass == 3:
+                if kinfo == 0:
+                    kinfo = var.ssl_maxit
+                break
+            zero_b = tuple(cx.zeros_like(c) for c in e)
+            dx, kinfo = _bicgstab_batched(matvec, prec, r0, zero_b,
+                                          atol_b, var.ssl_maxit,
+                                          on_iter)
+            xhi, xlo = _ds_accumulate(xhi, xlo, dx)
+
         us_ = jnp.asarray(refe, dtype=rdt_).reshape((-1, 1, 1, 1))
-        x = tuple(c * us_ for c in x)
-        rn = np.sqrt(np.asarray(_dot_b(
-            tuple(bb - aa for bb, aa in zip(s, matvec(x))),
-            tuple(bb - aa for bb, aa in zip(s, matvec(x)))).re))
-        l2_last = rn
+        l2_last = rn_true * refe
         if kinfo == 0:
             var.exit_message = 'CONVERGED'
         elif kinfo > 0:
@@ -1995,12 +2022,14 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         else:
             var.exit_message = f'Error in bicgstab ({kinfo})'
         var.cprint("\n   > " + var.exit_message, 2)
-        result = x
         out = []
-        comps = [np.array(cx.tocomplex(c)) for c in result]
+        comps = [np.array(cx.tocomplex(c * us_)) for c in xhi]
+        lows = [np.array(cx.tocomplex(c * us_)) for c in xlo]
         for b_ in range(len(sfields)):
             out.append(fields.Field(
-                comps[0][b_], comps[1][b_], comps[2][b_],
+                comps[0][b_].astype(np.complex128) + lows[0][b_],
+                comps[1][b_].astype(np.complex128) + lows[1][b_],
+                comps[2][b_].astype(np.complex128) + lows[2][b_],
                 frequency=sfields[b_]._frequency))
         info = {
             'exit': 0 if var.exit_message == 'CONVERGED' else 1,
@@ -2025,7 +2054,10 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     it_disp = 0
     it = 0
     first = True
-    result = e
+    elo = None    # two-float lo stream (activated near the f32 floor)
+    rds = None
+    ds_tau = max(100.0 * float(var.tol), 1e-5)
+    result = (e, None)
 
     fine0 = ctx.levels(int(var.sc_dir))[0]
     l2_last = np.asarray(_norm_b(*_jit_residual_b(e, s, fine0.arrays)))
@@ -2038,10 +2070,19 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
             levels = ctx.levels(int(var.sc_dir))
             nu_init = var.nu_init if first else 0
             first = False
-            e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
-                              batch=True)
-            r = _jit_residual_b(e, s, levels[0].arrays)
-            pending.append((e, _norm_b(*r)))
+            if elo is not None:
+                # Correction form (see multigrid's two-float mode).
+                zero = tuple(cx.zeros_like(c) for c in e)
+                delta = run_one_cycle(zero, rds, levels, conf,
+                                      batch=True)
+                e, elo = _ds_accumulate(e, elo, delta)
+                rds = _ds_residual_b(e, elo, s, levels[0].arrays)
+                pending.append(((e, elo), _norm_b(*rds)))
+            else:
+                e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
+                                  batch=True)
+                r = _jit_residual_b(e, s, levels[0].arrays)
+                pending.append(((e, None), _norm_b(*r)))
             it_disp += 1
             if var.sc_cycle:
                 var.sc_dir = next(var.sc_cycle)
@@ -2085,9 +2126,21 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
             var.cprint(add + "   > " + var.exit_message, 2)
             break
 
+        # Switch to two-float accumulation near the f32 floor.
+        if (elo is None and _ds_wanted(e, var)
+                and np.max(rel) < ds_tau):
+            elo = tuple(cx.zeros_like(c) for c in e)
+            rds = _ds_residual_b(
+                e, elo, s, ctx.levels(int(var.sc_dir))[0].arrays)
+
     # Unstack into host Fields (per-lane frequency).
     out = []
-    comps = [np.array(cx.tocomplex(c)) for c in result]
+    ehi_f, elo_f = result
+    comps = [np.array(cx.tocomplex(c)) for c in ehi_f]
+    if elo_f is not None:
+        lows = [np.array(cx.tocomplex(c)) for c in elo_f]
+        comps = [hi.astype(np.complex128) + lo
+                 for hi, lo in zip(comps, lows)]
     for b in range(len(sfields)):
         out.append(fields.Field(comps[0][b], comps[1][b], comps[2][b],
                                 frequency=sfields[b]._frequency))
