@@ -137,6 +137,53 @@ class TestGradient:
             nrmsds.append(nrmsd)
         assert np.mean(nrmsds) < 1.0
 
+    def test_fd_gradient_magnetic(self):
+        """Adjoint gradient with MAGNETIC receivers vs forward FD.
+
+        Reference accuracy contract: < 5% NRMSD for magnetic receivers
+        (tests/test_optimize.py:147-210; electric is < 1%).
+        """
+        from emg3d_tpu import Dipole
+
+        hx = np.ones(32) * 100
+        mesh = TensorMesh([hx, hx, hx], origin=(0, 0, 0))
+        con_true = np.ones(mesh.shape_cells)
+        con_true[11:16, 16:21, 10:15] = 0.001
+        model_init = Model(mesh, np.ones(mesh.shape_cells),
+                           mapping='Conductivity')
+        model_true = Model(mesh, con_true, mapping='Conductivity')
+
+        inp = _sim_inp(mesh, tol=5e-6)
+        # dip=90: an x-directed E-dipole has zero on-axis Hx by
+        # symmetry, so an in-line magnetic receiver must be vertical
+        # (the reference's test uses the same geometry).
+        inp['survey'] = Survey(
+            name='Magnetic Gradient Test',
+            sources=(850, 1600, 1600, 0, 0),
+            receivers=[Dipole('MRx', (2350, 1600, 1600, 0, 90),
+                              electric=False)],
+            frequencies=1.0, noise_floor=1e-15, relative_error=0.05)
+        sim_data = Simulation(model=model_true, **inp)
+        sim_data.compute(observed=True)
+        sim_data.data['observed'] = sim_data.data['synthetic'].copy()
+
+        inp['survey'] = sim_data.survey
+        sim = Simulation(model=model_init, **inp)
+        data_misfit = sim.misfit
+        grad = sim.gradient
+
+        epsilon = 1e-4
+        nrmsds = []
+        for ix, iz in ((14, 15), (18, 16)):
+            model_diff = model_init.copy()
+            model_diff.property_x[ix, 16, iz] += epsilon
+            sim_fd = Simulation(model=model_diff, **dict(inp))
+            fdgrad = float((sim_fd.misfit - data_misfit) / epsilon)
+            nrmsd = 200 * abs(grad[ix, 16, iz] - fdgrad) / (
+                abs(grad[ix, 16, iz]) + abs(fdgrad))
+            nrmsds.append(nrmsd)
+        assert np.mean(nrmsds) < 5.0
+
 
 class TestHelpers:
     def test_expand_grid_model(self):
