@@ -1326,7 +1326,7 @@ def krylov(ctx, var):
     l2_final = None
 
     try:
-        if var.sslsolver == 'bicgstab' and ctx.split and \
+        if var.sslsolver in ('bicgstab', 'cgs') and ctx.split and \
                 _pipelined_checks():
             # Device-resident Krylov scalars + fixed-cycle MG
             # preconditioner: zero blocking host syncs per iteration
@@ -1352,6 +1352,8 @@ def krylov(ctx, var):
             def precond_fast(r):
                 return _precond_fixed_cycles(ctx, var, r, batch=False)
 
+            inner = _bicgstab_device if var.sslsolver == 'bicgstab' \
+                else _cgs_device
             info = 0
             for _pass in range(4):
                 r0 = residual_ds(xhi, xlo, s_n, arrays)
@@ -1367,7 +1369,7 @@ def krylov(ctx, var):
                         info = var.ssl_maxit
                     break
                 zero = tuple(cx.zeros_like(c) for c in xhi)
-                dx, info = _bicgstab_device(
+                dx, info = inner(
                     matvec, precond_fast, r0, zero, atol_n,
                     var.ssl_maxit, callback, l2scale=bnorm)
                 xhi, xlo = _ds_accumulate(xhi, xlo, dx)
@@ -1596,6 +1598,100 @@ def _bicg_close(x, r_start, phat, shat, sres, t, alpha, rho, denom):
     diag = jnp.stack([rn2, cx.abs2(rho), cx.abs2(denom), sn2, tt.re,
                       cx.abs2(omega), rn2_new])
     return x_new, r_new, omega, diag
+
+
+@jax.jit
+def _cgs_p(r, rtilde, q, p, rho_prev):
+    """rho, beta and the u/p updates of CGS (one dispatch)."""
+    rho = _dot_d(rtilde, r)
+    beta = _cdiv0(rho, rho_prev)
+    u = tuple(rr + beta * qq for rr, qq in zip(r, q))
+    p_new = tuple(uu + beta * (qq + beta * pp)
+                  for uu, qq, pp in zip(u, q, p))
+    return u, p_new, rho
+
+
+@jax.jit
+def _cgs_q(rtilde, vhat, rho, u):
+    """alpha, q and u+q (one dispatch)."""
+    denom = _dot_d(rtilde, vhat)
+    alpha = _cdiv0(rho, denom)
+    q = tuple(uu - alpha * vv for uu, vv in zip(u, vhat))
+    uq = tuple(uu + qq for uu, qq in zip(u, q))
+    return alpha, q, uq, denom
+
+
+@jax.jit
+def _cgs_close(x, r_start, uqhat, w, alpha, rho, denom):
+    """The x/r updates and packed diagnostics (one dispatch).
+
+    diag = [|r_start|^2, |rho|^2, |denom|^2, |r_new|^2].
+    """
+    x_new = tuple(xx + alpha * uu for xx, uu in zip(x, uqhat))
+    r_new = tuple(rr - alpha * ww for rr, ww in zip(r_start, w))
+    diag = jnp.stack([_dot_d(r_start, r_start).re, cx.abs2(rho),
+                      cx.abs2(denom), _dot_d(r_new, r_new).re])
+    return x_new, r_new, diag
+
+
+def _cgs_device(matvec, precond, b, x, atol, maxiter, callback,
+                l2scale=1.0):
+    """CGS with device-resident scalars and a lagged 1-fetch check.
+
+    The CGS analog of :func:`_bicgstab_device`: C2 device scalars, one
+    packed-diagnostics fetch per iteration with a one-iteration lag,
+    speculative iterates discarded on breakdown.  C2 (split) only.
+    """
+    from collections import deque
+
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    one = jnp.asarray(1.0, dtype=cx.real_dtype_of(r[0]))
+    rho_prev = cx.C2(one, jnp.zeros_like(one))
+    q = tuple(cx.zeros_like(c) for c in r)
+    p = tuple(cx.zeros_like(c) for c in r)
+
+    atol2 = atol * atol
+    lag = 1 if _pipelined_checks() else 0
+    pend = deque()
+
+    def check(entry):
+        x_start, x_after, diag_d = entry
+        rn2, rho2, den2, rn2_new = np.asarray(diag_d)
+        if rn2 <= atol2:
+            return x_start, 0
+        if rho2 == 0:
+            return x_start, -10
+        if den2 == 0:
+            return x_start, -11
+        callback(x_after, l2=float(np.sqrt(rn2_new)) * l2scale)
+        return None
+
+    for it in range(maxiter):
+        x_start = x
+        if it == 0:
+            u = r
+            p = r
+            rho = _dot_d(rtilde, r)
+        else:
+            u, p, rho = _cgs_p(r, rtilde, q, p, rho_prev)
+        phat = precond(p)
+        vhat = matvec(phat)
+        alpha, q, uq, denom = _cgs_q(rtilde, vhat, rho, u)
+        uqhat = precond(uq)
+        w = matvec(uqhat)
+        x, r, diag = _cgs_close(x, r, uqhat, w, alpha, rho, denom)
+        rho_prev = rho
+        pend.append((x_start, x, diag))
+        if len(pend) > lag:
+            res = check(pend.popleft())
+            if res is not None:
+                return res
+    while pend:
+        res = check(pend.popleft())
+        if res is not None:
+            return res
+    return x, maxiter
 
 
 def _bicgstab(matvec, precond, b, x, atol, maxiter, callback):

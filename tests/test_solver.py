@@ -66,6 +66,18 @@ class TestHomogeneousVTI:
         assert info['it_ssl'] <= 6  # reference: 3 ssl steps on 8^3 case
         assert _rel(e, golden) < 1e-5
 
+    def test_cgs_device_scalars(self, setup, monkeypatch):
+        """Device-resident CGS path converges like the host path."""
+        monkeypatch.setenv('EMG3D_TPU_SPLIT', '1')
+        monkeypatch.setenv('EMG3D_TPU_PIPELINE', '1')
+        reg, grid, model, sfield = setup
+        golden = helpers.get_field(reg, 'res>bicresult', grid)
+        e, info = solve(grid, model, sfield, cycle='F',
+                        sslsolver='cgs', verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['rel_error'] < 1e-6
+        assert _rel(e, golden) < 1e-5
+
     def test_f32_two_float_1e6(self, setup):
         """float32 storage reaches the reference default tol=1e-6.
 
