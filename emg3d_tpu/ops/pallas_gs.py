@@ -64,7 +64,8 @@ from . import stencil
 from .blocksolve import ldl_solve_sparse
 from .coeffs import NodeCoeffs, node_block_entries
 
-__all__ = ['gauss_seidel_point_pallas', 'supported', 'enabled']
+__all__ = ['gauss_seidel_point_pallas', 'point_params', 'supported',
+           'supported_shape', 'enabled']
 
 
 def supported(e):
@@ -77,8 +78,13 @@ def supported(e):
     if not (all(isinstance(c, cx.C2) for c in e)
             and e[0].re.ndim == 3):
         return False
-    _, _, nz1 = e[0].re.shape
-    Zp = -(-nz1 // 128) * 128
+    return supported_shape((e[0].re.shape[0], e[1].re.shape[1],
+                            e[0].re.shape[2] - 1))
+
+
+def supported_shape(shape):
+    """Shape-only VMEM gate of :func:`supported` (see there)."""
+    Zp = -(-(shape[2] + 1) // 128) * 128
     return 52 * 4 * 16 * Zp * 4 <= 14 * 1024 * 1024
 
 
@@ -176,9 +182,9 @@ def slab_residual(e, s, st, w, ih):
 def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     """One (color-step, x-tile, y-tile) unit of the fused smoother.
 
-    refs layout: HBM inputs [estack (6,·), pstack (15,·),
+    refs layout: HBM inputs [estack (6,·), sstack (6,·), pstack (9,·),
     ihx (·,1,Zp), ihy (1,·,Zp)], 1 VMEM input [ihz], 1 HBM output
-    (aliased estack), 4 VMEM scratch [es, ps, ihxs, ihys], 1 DMA
+    (aliased estack), 5 VMEM scratch [es, ss, ps, ihxs, ihys], 1 DMA
     semaphore array.
 
     The y axis tiles exactly like x (slab = owned rows ± the stencil
@@ -187,16 +193,18 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     from at most one active node per color).  ``tyl`` is the slab
     y-extent; the owned rows per tile are ``tyl - 3``.
 
-    pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
-    styi, stzr, stzi, wx, wy, wz].
+    sstack planes: [sxr, sxi, syr, syi, szr, szi]; pstack planes:
+    [stxr, stxi, styr, styi, stzr, stzi, wx, wy, wz] — the pstack is
+    field-independent, so the solver builds it ONCE per level and
+    reuses it across every smoothing call of the solve.
     """
     ny, nz = nyz
     XL = tx + 3
-    _e_hbm, p_hbm, ihx_hbm, ihy_hbm = refs[0], refs[1], refs[2], refs[3]
-    ihz_r = refs[4]
-    e_out = refs[5]
-    es, ps, ihxs, ihys = refs[6], refs[7], refs[8], refs[9]
-    sems = refs[10]
+    (_e_hbm, s_hbm, p_hbm, ihx_hbm, ihy_hbm) = refs[0:5]
+    ihz_r = refs[5]
+    e_out = refs[6]
+    es, ss, ps, ihxs, ihys = refs[7], refs[8], refs[9], refs[10], refs[11]
+    sems = refs[12]
 
     step = pl.program_id(0)
     xtile = pl.program_id(1)
@@ -221,11 +229,13 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
         pltpu.make_async_copy(
             e_out.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], es, sems.at[0]),
         pltpu.make_async_copy(
-            p_hbm.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], ps, sems.at[1]),
+            s_hbm.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], ss, sems.at[1]),
+        pltpu.make_async_copy(
+            p_hbm.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)], ps, sems.at[2]),
         pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
-                              sems.at[2]),
-        pltpu.make_async_copy(ihy_hbm.at[:, pl.ds(y0, tyl)], ihys,
                               sems.at[3]),
+        pltpu.make_async_copy(ihy_hbm.at[:, pl.ds(y0, tyl)], ihys,
+                              sems.at[4]),
     ]
     for cp in cps:
         cp.start()
@@ -235,15 +245,18 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     def E(i):
         return cx.C2(es[i], es[i + 1])
 
+    def S(i):
+        return cx.C2(ss[i], ss[i + 1])
+
     def P(i):
         return cx.C2(ps[i], ps[i + 1])
 
     ex, ey, ez = E(0), E(2), E(4)
-    sx, sy, sz = P(0), P(2), P(4)
-    stx, sty, stz = P(6), P(8), P(10)
-    wx = ps[12]
-    wy = ps[13]
-    wz = ps[14]
+    sx, sy, sz = S(0), S(2), S(4)
+    stx, sty, stz = P(0), P(2), P(4)
+    wx = ps[6]
+    wy = ps[7]
+    wz = ps[8]
     ihx = ihxs[:]              # (XL, 1, Zp), x-varying, lane-replicated
     ihy = ihys[:]              # (1, tyl, Zp), y-varying slab
     ihz = ihz_r[:]             # (1, 1, Zp)
@@ -331,38 +344,42 @@ def padded_dims(shape, min_yp=0):
     return Yp, Zp, nx + 2
 
 
-def pack_state(e, s, arrays, shape, min_yp=0):
-    """Embed fields + model parameters in the padded layout.
+def _pad3(a, r0, j0, k0, dims, dt):
+    Yp, Zp, NXP = dims
+    X, A, B = a.shape
+    return jnp.zeros((NXP, Yp, Zp), dt).at[
+        r0:r0 + X, j0:j0 + A, k0:k0 + B].set(a.astype(dt))
 
-    Returns (estack (6,·), pstack (15,·), ihx, ihy, ihz, (Yp, Zp, NXP)).
-    pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
-    styi, stzr, stzi, wx, wy, wz].  Shared by the point and line
-    kernels.
+
+def _padC(a, r0, j0, k0, dims, dt):
+    return (_pad3(a.re, r0, j0, k0, dims, dt),
+            _pad3(a.im, r0, j0, k0, dims, dt))
+
+
+@functools.partial(jax.jit, static_argnames=('shape', 'min_yp'))
+def pack_params(arrays, shape, min_yp=0):
+    """Field-independent kernel parameters in the padded layout.
+
+    Returns (pstack (9,·), ihx, ihy, ihz); pstack planes: [stxr, stxi,
+    styr, styi, stzr, stzi, wx, wy, wz].  Everything here depends on
+    the model/grid only, so the solver caches the result per level and
+    every smoothing call of the solve reuses it (the per-call XLA work
+    shrinks to padding the 6+6 field/source planes).
     """
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
-    dt = e[0].re.dtype
+    dt = cx.real_dtype_of(eta_x)
     Yp, Zp, NXP = padded_dims(shape, min_yp)
+    dims = (Yp, Zp, NXP)
 
-    # Field-independent precomputation (XLA, once per smoothing call).
     stx_, sty_, stz_ = stencil.eta_edge_sums(eta_x, eta_y, eta_z)
     wx_, wy_, wz_ = stencil.zeta_face_weights(zeta)
 
-    def pad3(a, r0, j0, k0):
-        X, A, B = a.shape
-        return jnp.zeros((NXP, Yp, Zp), dt).at[
-            r0:r0 + X, j0:j0 + A, k0:k0 + B].set(a.astype(dt))
-
-    def padC(a, r0, j0, k0):
-        return (pad3(a.re, r0, j0, k0), pad3(a.im, r0, j0, k0))
-
-    estack = jnp.stack([
-        *padC(e[0], 0, 0, 0), *padC(e[1], 0, 0, 0), *padC(e[2], 0, 0, 0),
-    ])
     pstack = jnp.stack([
-        *padC(s[0], 0, 0, 0), *padC(s[1], 0, 0, 0), *padC(s[2], 0, 0, 0),
-        *padC(stx_, 0, 1, 1), *padC(sty_, 1, 0, 1), *padC(stz_, 1, 1, 0),
-        pad3(wx_, 0, 0, 0), pad3(wy_, 0, 0, 0), pad3(wz_, 0, 0, 0),
+        *_padC(stx_, 0, 1, 1, dims, dt), *_padC(sty_, 1, 0, 1, dims, dt),
+        *_padC(stz_, 1, 1, 0, dims, dt),
+        _pad3(wx_, 0, 0, 0, dims, dt), _pad3(wy_, 0, 0, 0, dims, dt),
+        _pad3(wz_, 0, 0, 0, dims, dt),
     ])
     ihx_p = jnp.zeros((NXP, 1, Zp), dt).at[:nx, 0, :].set(
         jnp.broadcast_to((1.0 / hx.astype(dt))[:, None], (nx, Zp)))
@@ -372,6 +389,38 @@ def pack_state(e, s, arrays, shape, min_yp=0):
         jnp.broadcast_to((1.0 / hy.astype(dt))[:, None], (ny, Zp)))
     ihz_p = jnp.zeros((1, 1, Zp), dt).at[0, 0, :nz].set(
         1.0 / hz.astype(dt))
+    return pstack, ihx_p, ihy_p, ihz_p
+
+
+def pack_fields(e, s, shape, min_yp=0):
+    """(estack (6,·), sstack (6,·)) of the padded layout."""
+    dt = e[0].re.dtype
+    dims = padded_dims(shape, min_yp)
+    estack = jnp.stack([
+        *_padC(e[0], 0, 0, 0, dims, dt), *_padC(e[1], 0, 0, 0, dims, dt),
+        *_padC(e[2], 0, 0, 0, dims, dt),
+    ])
+    sstack = jnp.stack([
+        *_padC(s[0], 0, 0, 0, dims, dt), *_padC(s[1], 0, 0, 0, dims, dt),
+        *_padC(s[2], 0, 0, 0, dims, dt),
+    ])
+    return estack, sstack
+
+
+def pack_state(e, s, arrays, shape, min_yp=0):
+    """Embed fields + model parameters in the padded layout.
+
+    Returns (estack (6,·), pstack (15,·), ihx, ihy, ihz, (Yp, Zp, NXP));
+    pstack planes: [sxr, sxi, syr, syi, szr, szi, stxr, stxi, styr,
+    styi, stzr, stzi, wx, wy, wz].  Used by the line kernels (the
+    point kernel streams the split stacks of :func:`pack_params` /
+    :func:`pack_fields` instead).
+    """
+    Yp, Zp, NXP = padded_dims(shape, min_yp)
+    p9, ihx_p, ihy_p, ihz_p = pack_params(tuple(arrays), shape,
+                                          min_yp=min_yp)
+    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp)
+    pstack = jnp.concatenate([sstack, p9], axis=0)
     return estack, pstack, ihx_p, ihy_p, ihz_p, (Yp, Zp, NXP)
 
 
@@ -406,10 +455,42 @@ def _point_tiles(nx, ny, Yp, Zp):
     return 1, 16, 8
 
 
+def point_layout(shape, _tx=None, _tyl=None):
+    """(tx, tyl, ty, n_xtiles, n_ytiles, min_yp) of the point kernel.
+
+    Deterministic in ``shape`` (plus explicit tile overrides), so the
+    solver can build the cached :func:`pack_params` stack with the
+    same ``min_yp`` the kernel will require.
+    """
+    nx, ny, nz = shape
+    Yp0, Zp0, _ = padded_dims(shape)
+    tx, tyl, ty = _point_tiles(nx, ny, Yp0, Zp0)
+    if _tx is not None:
+        tx = max(1, min(_tx, nx - 1))
+    if _tyl is not None:
+        if _tyl < 16 or _tyl % 8:
+            raise ValueError("_tyl must be a multiple of 8, >= 16.")
+        tyl = _tyl
+        ty = tyl - 8
+    n_xtiles = -(-(nx - 1) // tx)
+    n_ytiles = 1 if ty >= ny else max(1, -(-(ny - 1) // ty))
+    # Pad Yp so the LAST y tile's aligned slab [ytile·ty, +tyl) fits
+    # without clipping (pad rows are zero and masked everywhere).
+    min_yp = (n_ytiles - 1) * ty + tyl if n_ytiles > 1 else 0
+    return tx, tyl, ty, n_xtiles, n_ytiles, min_yp
+
+
+def point_params(arrays, shape):
+    """Cached-parameter entry point: the (9,·) stack + ih arrays laid
+    out for :func:`gauss_seidel_point_pallas`'s default tiling."""
+    min_yp = point_layout(shape)[5]
+    return pack_params(tuple(arrays), shape, min_yp=min_yp)
+
+
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_seq',
                                     '_tx', '_tyl'))
-def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
+def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
                               interpret=False, _seq=None, _tx=None,
                               _tyl=None):
     """nu sweeps of 8-color node-block GS as one fused Pallas call.
@@ -417,10 +498,12 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
     e, s : tuples of cx.C2 field components (split re/im, float32).
     arrays : (eta_x, eta_y, eta_z, zeta, hx, hy, hz) — eta as C2.
     shape : static cell shape (nx, ny, nz).
+    params : optional result of :func:`point_params` (field-independent
+        stacks, cached per level by the solver); rebuilt inline when
+        absent or laid out for a different tiling.
     """
     nx, ny, nz = shape
     dt = e[0].re.dtype
-    Yp0, Zp0, _ = padded_dims(shape)
 
     # Color sequence with per-sweep order reversal.
     if _seq is not None:
@@ -433,37 +516,32 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
 
     # Tile sizes: keep the slab working set under the VMEM budget;
     # large y-z planes (128³-class) tile the y axis too.
-    tx, tyl, ty = _point_tiles(nx, ny, Yp0, Zp0)
-    if _tx is not None:
-        tx = max(1, min(_tx, nx - 1))
-    if _tyl is not None:
-        if _tyl < 16 or _tyl % 8:
-            raise ValueError("_tyl must be a multiple of 8, >= 16.")
-        tyl = _tyl
-        ty = tyl - 8
-    n_xtiles = -(-(nx - 1) // tx)
-    n_ytiles = 1 if ty >= ny else max(1, -(-(ny - 1) // ty))
+    tx, tyl, ty, n_xtiles, n_ytiles, min_yp = point_layout(
+        shape, _tx=_tx, _tyl=_tyl)
     XL = tx + 3
 
-    # Pad Yp so the LAST y tile's aligned slab [ytile·ty, +tyl) fits
-    # without clipping (pad rows are zero and masked everywhere).
-    min_yp = (n_ytiles - 1) * ty + tyl if n_ytiles > 1 else 0
-    (estack, pstack, ihx_p, ihy_p, ihz_p,
-     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape, min_yp=min_yp)
+    Yp, Zp, NXP = padded_dims(shape, min_yp)
+    if params is not None and params[0].shape == (9, NXP, Yp, Zp):
+        pstack, ihx_p, ihy_p, ihz_p = params
+    else:
+        pstack, ihx_p, ihy_p, ihz_p = pack_params(
+            tuple(arrays), shape, min_yp=min_yp)
+    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp)
     tyl = min(tyl, Yp)
 
     scratch_shapes = [
         pltpu.VMEM((6, XL, tyl, Zp), dt),    # e slab stack
-        pltpu.VMEM((15, XL, tyl, Zp), dt),   # parameter slab stack
+        pltpu.VMEM((6, XL, tyl, Zp), dt),    # s slab stack
+        pltpu.VMEM((9, XL, tyl, Zp), dt),    # parameter slab stack
         pltpu.VMEM((XL, 1, Zp), dt),         # ihx slab
         pltpu.VMEM((1, tyl, Zp), dt),        # ihy slab
-        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((5,)),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(len(seq), n_xtiles, n_ytiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=scratch_shapes,
@@ -479,6 +557,6 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape,
         input_output_aliases={1: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(colors, estack, pstack, ihx_p, ihy_p, ihz_p)
+    )(colors, estack, sstack, pstack, ihx_p, ihy_p, ihz_p)
 
     return unpack_efield(out, (e[0].shape, e[1].shape, e[2].shape))

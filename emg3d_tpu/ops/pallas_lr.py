@@ -55,11 +55,12 @@ from .. import cx
 from .blocksolve import block_tridiag_factor, ldl_solve_factored
 from .coeffs import node_coefficients
 from .dsres import _ri
-from .pallas_gs import (pack_state, unpack_efield, padded_dims,
-                        slab_residual, _r)
+from .pallas_gs import (pack_params, pack_fields, unpack_efield,
+                        padded_dims, slab_residual, _r)
 
-__all__ = ['line_relaxation_pallas', 'line_factors', 'rotate_arrays',
-           'supported', 'supported_shape', 'factors_nbytes']
+__all__ = ['line_relaxation_pallas', 'line_factors', 'line_params',
+           'rotate_arrays', 'supported', 'supported_shape',
+           'factors_nbytes']
 
 # Factor-stack plane order (indices into the NF=46 plane axis; each
 # entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
@@ -162,12 +163,12 @@ def _kernel_res(*refs, tx, nx):
     so rows ≥ nx stay at their initial zeros (the Thomas kernel relies
     on that for the last station's transverse slots).
     """
-    p_hbm, ihx_hbm = refs[1], refs[2]
-    ihy_r, ihz_r = refs[3], refs[4]
-    e_hbm = refs[0]
-    r_out = refs[6]
-    es, ps, ihxs, rs = refs[7], refs[8], refs[9], refs[10]
-    sems = refs[11]
+    e_hbm, s_hbm, p_hbm, ihx_hbm = refs[0], refs[1], refs[2], refs[3]
+    ihy_r, ihz_r = refs[4], refs[5]
+    r_out = refs[7]
+    es, ss, ps, ihxs, rs = (refs[8], refs[9], refs[10], refs[11],
+                            refs[12])
+    sems = refs[13]
 
     XL = tx + 2
     NXP = nx + 2
@@ -178,10 +179,11 @@ def _kernel_res(*refs, tx, nx):
 
     cps = [
         pltpu.make_async_copy(e_hbm.at[:, pl.ds(x0, XL)], es, sems.at[0]),
-        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps, sems.at[1]),
+        pltpu.make_async_copy(s_hbm.at[:, pl.ds(x0, XL)], ss, sems.at[1]),
+        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps, sems.at[2]),
         pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
-                              sems.at[2]),
-        pltpu.make_async_copy(r_out.at[:, pl.ds(x0, XL)], rs, sems.at[3]),
+                              sems.at[3]),
+        pltpu.make_async_copy(r_out.at[:, pl.ds(x0, XL)], rs, sems.at[4]),
     ]
     for cp in cps:
         cp.start()
@@ -191,12 +193,15 @@ def _kernel_res(*refs, tx, nx):
     def E(i):
         return cx.C2(es[i], es[i + 1])
 
+    def S(i):
+        return cx.C2(ss[i], ss[i + 1])
+
     def P(i):
         return cx.C2(ps[i], ps[i + 1])
 
     rx, ry, rz = slab_residual(
-        (E(0), E(2), E(4)), (P(0), P(2), P(4)), (P(6), P(8), P(10)),
-        (ps[12], ps[13], ps[14]), (ihxs[:], ihy_r[:], ihz_r[:]))
+        (E(0), E(2), E(4)), (S(0), S(2), S(4)), (P(0), P(2), P(4)),
+        (ps[6], ps[7], ps[8]), (ihxs[:], ihy_r[:], ihz_r[:]))
 
     sh = rx.re.shape
     gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
@@ -402,13 +407,17 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, chx, nch):
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_tx',
                                     '_ty', '_chx'))
-def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, interpret=False,
-                      _tx=None, _ty=None, _chx=None):
+def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
+                      interpret=False, _tx=None, _ty=None, _chx=None):
     """nu sweeps of 4-color x-line relaxation as fused Pallas steps."""
     nx, ny, nz = shape
     dt = e[0].re.dtype
-    (estack, pstack, ihx_p, ihy_p, ihz_p,
-     (Yp, Zp, NXP)) = pack_state(e, s, arrays, shape)
+    Yp, Zp, NXP = padded_dims(shape)
+    if params is not None and params[0].shape == (9, NXP, Yp, Zp):
+        pstack, ihx_p, ihy_p, ihz_p = params
+    else:
+        pstack, ihx_p, ihy_p, ihz_p = pack_params(tuple(arrays), shape)
+    estack, sstack = pack_fields(e, s, shape)
     if fstack is None:
         fstack = line_factors(arrays, shape, 0)
     rstack = jnp.zeros((6, NXP, Yp, Zp), dt)
@@ -438,19 +447,20 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, interpret=False,
     res_call = pl.pallas_call(
         functools.partial(_kernel_res, tx=tx, nx=nx),
         grid=(ntx,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +
                  [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         scratch_shapes=[
             pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
-            pltpu.VMEM((15, tx + 2, Yp, Zp), dt),
+            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
+            pltpu.VMEM((9, tx + 2, Yp, Zp), dt),
             pltpu.VMEM((tx + 2, 1, Zp), dt),
             pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((5,)),
         ],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
@@ -481,7 +491,8 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, interpret=False,
 
     def body(carry, color):
         estack, rstack = carry
-        rstack = res_call(estack, pstack, ihx_p, ihy_p, ihz_p, rstack)
+        rstack = res_call(estack, sstack, pstack, ihx_p, ihy_p, ihz_p,
+                          rstack)
         estack = thomas_call(color[None], rstack, fstack, estack)
         return (estack, rstack), None
 
@@ -516,18 +527,28 @@ rotate_arrays_jit = functools.partial(jax.jit, static_argnames='axis')(
     rotate_arrays)
 
 
+def line_params(arrays_rot, shape, axis):
+    """Field-independent residual-kernel stacks in ``axis``'s rotated
+    frame (cached per (level, axis) by the solver alongside the factor
+    stack; ``arrays_rot`` is :func:`rotate_arrays`' result)."""
+    rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
+    return pack_params(tuple(arrays_rot), rs)
+
+
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,
-                           arrays_rot=None, interpret=None, **tune):
+                           arrays_rot=None, params=None, interpret=None,
+                           **tune):
     """nu sweeps of 4-color line relaxation along ``axis`` (0/1/2).
 
     The y/z variants run the x kernel in a cyclically rotated frame
     (exact Yee symmetry, like :func:`smoothers.line_relaxation`);
     ``fstack`` must then be built by :func:`line_factors` for the SAME
-    axis (it is computed in the rotated frame there), and
-    ``arrays_rot`` may supply :func:`rotate_arrays`' result to skip
-    the per-call parameter transposes.  ``interpret`` defaults to the
-    Pallas interpreter off-TPU (CPU test coverage of the solver
-    dispatch) and to hardware lowering on TPU.
+    axis (it is computed in the rotated frame there), ``arrays_rot``
+    may supply :func:`rotate_arrays`' result to skip the per-call
+    parameter transposes, and ``params`` :func:`line_params`' cached
+    stacks.  ``interpret`` defaults to the Pallas interpreter off-TPU
+    (CPU test coverage of the solver dispatch) and to hardware
+    lowering on TPU.
     """
     from .smoothers import _rot_fwd, _rot_bwd
 
@@ -538,19 +559,22 @@ def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,
 
     if axis == 0:
         return _gs_line_x_pallas(tuple(e), tuple(s), ar, fstack, nu,
-                                 shape, interpret=interpret, **tune)
+                                 shape, params=params,
+                                 interpret=interpret, **tune)
     if axis == 1:
         ee = (_rot_fwd(e[1]), _rot_fwd(e[2]), _rot_fwd(e[0]))
         ss = (_rot_fwd(s[1]), _rot_fwd(s[2]), _rot_fwd(s[0]))
         out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
                                 (shape[1], shape[2], shape[0]),
-                                interpret=interpret, **tune)
+                                params=params, interpret=interpret,
+                                **tune)
         return (_rot_bwd(out[2]), _rot_bwd(out[0]), _rot_bwd(out[1]))
     if axis == 2:
         ee = (_rot_bwd(e[2]), _rot_bwd(e[0]), _rot_bwd(e[1]))
         ss = (_rot_bwd(s[2]), _rot_bwd(s[0]), _rot_bwd(s[1]))
         out = _gs_line_x_pallas(ee, ss, ar, fstack, nu,
                                 (shape[2], shape[0], shape[1]),
-                                interpret=interpret, **tune)
+                                params=params, interpret=interpret,
+                                **tune)
         return (_rot_fwd(out[1]), _rot_fwd(out[2]), _rot_fwd(out[0]))
     raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")

@@ -316,7 +316,7 @@ class _Level:
     """Per-level data: model parameters, widths, transfer weights."""
 
     __slots__ = ('shape', 'arrays', 'coarsen', 'rweights', 'pweights',
-                 'nodes', 'h_np', 'fstacks')
+                 'nodes', 'h_np', 'fstacks', 'pparams')
 
     def __init__(self, shape, arrays, h_np, nodes):
         self.shape = shape          # cell shape
@@ -327,6 +327,7 @@ class _Level:
         self.rweights = None
         self.pweights = None
         self.fstacks = {}           # axis -> Pallas line-factor stack
+        self.pparams = None         # cached Pallas point-kernel params
 
 
 def use_split_complex():
@@ -447,7 +448,7 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
 # ======================================================================
 
 def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
-            fstacks=None, mesh=None):
+            fstacks=None, mesh=None, pparams=None):
     """Smoothing dispatch (reference parity: solver.py:738-799).
 
     ``fstacks`` is an optional 3-tuple of precomputed line-factor
@@ -472,18 +473,19 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
         from .ops import pallas_gs
         if pallas_ok and pallas_gs.enabled() and pallas_gs.supported(e):
             return pallas_gs.gauss_seidel_point_pallas(
-                tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape)
+                tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
+                params=pparams)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
         ent = fstacks[ax] if (pallas_ok and fstacks is not None) \
             else None
         if ent is not None:
-            fs, rot = ent
+            fs, rot, pp = ent
             from .ops import pallas_lr
             e = pallas_lr.line_relaxation_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
                 axis=ax, fstack=None if isinstance(fs, tuple) else fs,
-                arrays_rot=rot)
+                arrays_rot=rot, params=pp)
         else:
             e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
                                           axis=ax)
@@ -626,19 +628,44 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
             fs = () if nbytes > _FSTACK_CACHE_BYTES \
                 else pallas_lr.line_factors(lev.arrays, lev.shape, ax)
             # Rotated-frame parameters are field-independent too:
-            # cache them so y/z-line calls only transpose the fields.
+            # cache them so y/z-line calls only transpose the fields —
+            # including the packed residual-kernel st/w stacks.
             rot = None if ax == 0 else \
                 pallas_lr.rotate_arrays_jit(lev.arrays, axis=ax)
-            lev.fstacks[ax] = (fs, rot)
+            pp = pallas_lr.line_params(
+                lev.arrays if rot is None else rot, lev.shape, ax)
+            lev.fstacks[ax] = (fs, rot, pp)
         out[ax] = lev.fstacks[ax]
         any_ax = True
     return tuple(out) if any_ax else None
 
 
+def _level_pparams(lev, lr_dir, mesh=None, batch=False):
+    """Cached point-kernel parameter stacks (None when inapplicable).
+
+    The (9,·) st/w stack + 1/h arrays of the fused point smoother are
+    field-independent, so they are built once per level per solve and
+    shared by every smoothing call on this hierarchy — the per-call
+    XLA prologue then only pads the 6+6 e/s planes.
+    """
+    if mesh is not None or batch:
+        return None
+    from .ops import pallas_gs
+    if not (pallas_gs.enabled() and isinstance(lev.arrays[0], cx.C2)):
+        return None
+    if _current_lr_dir(lr_dir, lev.shape) != 0:
+        return None
+    if not pallas_gs.supported_shape(lev.shape):
+        return None
+    if lev.pparams is None:
+        lev.pparams = pallas_gs.point_params(lev.arrays, lev.shape)
+    return lev.pparams
+
+
 @_partial(jax.jit,
           static_argnames=('nu', 'lr_dir', 'shape', 'mesh', 'batch'))
 def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
-                batch=False, fstacks=None):
+                batch=False, fstacks=None, pparams=None):
     if batch:
         return jax.vmap(
             lambda e_, s_, ar: _smooth(e_, s_, ar, nu, lr_dir, shape,
@@ -647,14 +674,16 @@ def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
     e = _constrain(e, mesh)
     s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape,
-                   pallas_ok=mesh is None, fstacks=fstacks, mesh=mesh)
+                   pallas_ok=mesh is None, fstacks=fstacks, mesh=mesh,
+                   pparams=pparams)
 
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape',
                            'mesh', 'batch'))
 def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
-                       shape, mesh=None, batch=False, fstacks=None):
+                       shape, mesh=None, batch=False, fstacks=None,
+                       pparams=None):
     """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
 
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
@@ -662,7 +691,8 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
     """
     def body(e_, s_, pallas_ok=True, mesh_=None, ar=arrays):
         e_ = _smooth(e_, s_, ar, nu_pre, lr_dir, shape,
-                     pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
+                     pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_,
+                     pparams=pparams)
         r = _residual_e(e_, s_, ar)
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
@@ -683,13 +713,14 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
                            'mesh', 'batch'))
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
                         lr_dir, shape, mesh=None, batch=False,
-                        fstacks=None):
+                        fstacks=None, pparams=None):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
     def body(e_, ec_, s_, pallas_ok=True, mesh_=None, ar=arrays):
         e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
         e_ = stencil.pec_mask_apply(*e_)
         return _smooth(e_, s_, ar, nu_post, lr_dir, shape,
-                       pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_)
+                       pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_,
+                       pparams=pparams)
 
     if batch:
         return jax.vmap(
@@ -795,7 +826,8 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
     if lvl == nlevels - 1:
         e = _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
                         lev.shape, mesh=mesh, batch=batch,
-                        fstacks=_level_fstacks(lev, lr_dir, mesh, batch))
+                        fstacks=_level_fstacks(lev, lr_dir, mesh, batch),
+                        pparams=_level_pparams(lev, lr_dir, mesh, batch))
         report(0, 1, "coarsest level")
         return e
 
@@ -817,10 +849,12 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
     it = 0
     fstacks = _level_fstacks(lev, lr_dir, mesh, batch)
+    pparams = _level_pparams(lev, lr_dir, mesh, batch)
     while it < cycmax_here:
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
-            lr_dir, lev.shape, mesh=mesh, batch=batch, fstacks=fstacks)
+            lr_dir, lev.shape, mesh=mesh, batch=batch, fstacks=fstacks,
+            pparams=pparams)
         if nu_pre > 0:
             report(it, cycmax_here, "pre-smoothing")
 
@@ -831,7 +865,8 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
                                 lev.arrays, nu_post, lr_dir, lev.shape,
-                                mesh=mesh, batch=batch, fstacks=fstacks)
+                                mesh=mesh, batch=batch, fstacks=fstacks,
+                                pparams=pparams)
         if nu_post > 0:
             report(it, cycmax_here, "post-smoothing")
 
@@ -855,6 +890,8 @@ def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
         e = _smooth_jit(e, s, levels[0].arrays, nu_init, conf[4],
                         levels[0].shape, mesh=mesh0, batch=batch,
                         fstacks=_level_fstacks(levels[0], conf[4],
+                                               mesh0, batch),
+                        pparams=_level_pparams(levels[0], conf[4],
                                                mesh0, batch))
         if dbg is not None:
             nrm = residual_norm(e, s, levels[0].arrays)
@@ -1368,6 +1405,24 @@ def krylov(ctx, var):
                     if info == 0:
                         info = var.ssl_maxit
                     break
+                if _pass >= 1:
+                    # Refinement passes start within a few × tol of
+                    # convergence (the pass-0 recursive residual met
+                    # tol; only the f32 storage floor remains), so one
+                    # preconditioner application usually closes the
+                    # gap — try it before paying a full Krylov
+                    # iteration (2 preconditioner applications plus
+                    # the lagged speculative iterate, ~1/3 of the warm
+                    # solve measured at 32³).
+                    dx0 = precond_fast(r0)
+                    xh2, xl2 = _ds_accumulate(xhi, xlo, dx0)
+                    r2 = residual_ds(xh2, xl2, s_n, arrays)
+                    rn2 = float(_norm(*r2))
+                    if rn2 < rnorm_true:
+                        xhi, xlo, r0, rnorm_true = xh2, xl2, r2, rn2
+                        if rn2 <= atol_n:
+                            info = 0
+                            break
                 zero = tuple(cx.zeros_like(c) for c in xhi)
                 dx, info = inner(
                     matvec, precond_fast, r0, zero, atol_n,
@@ -2103,6 +2158,20 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
                 if kinfo == 0:
                     kinfo = var.ssl_maxit
                 break
+            if _pass >= 1:
+                # Refinement passes start within a few × tol (only the
+                # f32 storage floor remains): one preconditioner
+                # application over all lanes usually closes the gap —
+                # cheaper than a full batched Krylov iteration.
+                dx0 = prec(r0)
+                xh2, xl2 = _ds_accumulate(xhi, xlo, dx0)
+                r2 = _ds_residual_b(xh2, xl2, s_n, fine.arrays)
+                rn2 = np.asarray(_norm_b(*r2))
+                if np.all(rn2 <= rn_true):
+                    xhi, xlo, r0, rn_true = xh2, xl2, r2, rn2
+                    if np.all(rn2 <= atol_np):
+                        kinfo = 0
+                        break
             zero_b = tuple(cx.zeros_like(c) for c in e)
             dx, kinfo = _bicgstab_batched(matvec, prec, r0, zero_b,
                                           atol_b, var.ssl_maxit,
