@@ -70,11 +70,8 @@ __all__ = ['gauss_seidel_point_pallas', 'point_params', 'supported',
 
 def supported(e):
     """Pallas path requires the split-pair representation, 3-D arrays,
-    and a VMEM-feasible minimal tile: the fused color update keeps ~52
-    (XL, tyl, Zp) planes live (21 slab arrays + Mosaic vector-stack
-    temporaries); x/y tile freely but z does not, so only a very long
-    z extent (≳1100 cells) can exceed the 16 MB scoped-vmem budget.
-    The minimal configuration matches _point_tiles: XL=4, tyl=16."""
+    and a VMEM-feasible tile configuration (see
+    :func:`supported_shape`)."""
     if not (all(isinstance(c, cx.C2) for c in e)
             and e[0].re.ndim == 3):
         return False
@@ -83,9 +80,52 @@ def supported(e):
 
 
 def supported_shape(shape):
-    """Shape-only VMEM gate of :func:`supported` (see there)."""
+    """Shape-only gate of :func:`supported`.
+
+    A hardware probe verdict (:func:`point_probe`) takes precedence;
+    otherwise the VMEM model must admit the minimal tile (XL=4,
+    tyl=16) — x/y tile freely but z does not, so only a very long z
+    extent can exceed the budget.  The model is a *prediction*; the
+    solver's dispatch additionally probe-compiles risky shapes so a
+    stale constant degrades to the XLA smoother instead of crashing
+    the solve (round-2 lesson: BENCH_r02 died on exactly that)."""
+    verdict = _POINT_OK.get(tuple(shape))
+    if verdict is not None:
+        return verdict
     Zp = -(-(shape[2] + 1) // 128) * 128
-    return 52 * 4 * 16 * Zp * 4 <= 14 * 1024 * 1024
+    return PLANES * 4 * 16 * Zp * 4 <= VMEM_LIMIT
+
+
+# Scoped-VMEM budget the Mosaic compiler may use for this kernel.
+# XLA's default scoped limit is 16 MiB (a fusion-friendly default),
+# but the v5e core physically has far more VMEM — raising the limit
+# for the standalone smoother kernel admits larger slabs (fewer DMA
+# issues) and absorbs Mosaic vector-stack growth that the 16 MiB
+# budget cannot.  Overridable for calibration runs.
+VMEM_LIMIT = int(os.environ.get('EMG3D_TPU_VMEM_LIMIT',
+                                64 * 1024 * 1024))
+
+# Live (XL, tyl, Zp) planes of the fused color update: 21 declared
+# slab arrays + Mosaic vector-stack temporaries.  Measured bracket on
+# v5e at 64³ (Yp=72, Zp=128): XL=7 overflowed a 16 MiB budget at
+# 17.53 MB (≈68 planes), XL=35 fit a 96 MiB budget (≤74).  80 is the
+# conservative planning constant; the probe (point_probe) is the
+# ground truth.
+PLANES = 80
+
+# Probe verdicts: shape -> bool (did the kernel compile on hardware
+# with the tiles point_layout picks for it?).  Populated by
+# point_probe; consulted by supported_shape at solver trace time.
+_POINT_OK = {}
+
+# Tile overrides installed by a probe walk-down when the first-choice
+# tiles fail to compile: shape -> (_tx, _tyl).
+_TILE_OVERRIDE = {}
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(has_side_effects=True,
+                                vmem_limit_bytes=VMEM_LIMIT)
 
 
 _ENABLED = None
@@ -433,36 +473,47 @@ def unpack_efield(out, shapes):
     return crop(0, shapes[0]), crop(2, shapes[1]), crop(4, shapes[2])
 
 
+# Beyond this x-tile width the kernel time is flat (measured 2.5-3.3
+# ms for tx in [8, 32] at 64³) while compile time and stack risk grow.
+_TX_CAP = 16
+
+
 def _point_tiles(nx, ny, Yp, Zp):
-    """(tx, tyl, ty) under the VMEM budget: ~52 live (XL, tyl, Zp)
-    planes (21 slab arrays + Mosaic vector-stack temporaries;
-    calibrated on v5e — tx=4 at 64³ full-y is measured-best, tx=5
-    spills).  Full-y slabs when they fit; otherwise y tiles of a
-    multiple-of-8 ``ty`` owned rows + 8 slack rows carrying the halo
-    (sublane-aligned slab offsets: see _kernel).
+    """(tx, tyl, ty) with PLANES·XL·tyl·Zp·4 under VMEM_LIMIT.
+
+    Full-y slabs when they fit; otherwise y tiles of a multiple-of-8
+    ``ty`` owned rows + 8 slack rows carrying the halo (sublane-
+    aligned slab offsets: see _kernel).
     """
-    budget = 14 * 1024 * 1024
-    xl = budget // (52 * Yp * Zp * 4)
+    def xl_for(tyl):
+        return VMEM_LIMIT // (PLANES * tyl * Zp * 4)
+
+    xl = xl_for(Yp)
     if xl >= 7 or Yp <= 16:
-        return max(1, min(int(xl) - 3, nx - 1)), Yp, ny
+        return max(1, min(int(xl) - 3, _TX_CAP, nx - 1)), Yp, ny
     for ty in [32, 24, 16, 8]:
         tyl = ty + 8
         if tyl > Yp:
             continue
-        xl = budget // (52 * tyl * Zp * 4)
+        xl = xl_for(tyl)
         if xl >= 7 or ty == 8:
-            return max(1, min(int(xl) - 3, nx - 1)), tyl, ty
+            return max(1, min(int(xl) - 3, _TX_CAP, nx - 1)), tyl, ty
     return 1, 16, 8
 
 
 def point_layout(shape, _tx=None, _tyl=None):
     """(tx, tyl, ty, n_xtiles, n_ytiles, min_yp) of the point kernel.
 
-    Deterministic in ``shape`` (plus explicit tile overrides), so the
-    solver can build the cached :func:`pack_params` stack with the
-    same ``min_yp`` the kernel will require.
+    Deterministic in ``shape`` (plus explicit tile overrides and any
+    probe-installed override), so the solver can build the cached
+    :func:`pack_params` stack with the same ``min_yp`` the kernel will
+    require.
     """
     nx, ny, nz = shape
+    if _tx is None and _tyl is None:
+        ov = _TILE_OVERRIDE.get(tuple(shape))
+        if ov is not None:
+            _tx, _tyl = ov
     Yp0, Zp0, _ = padded_dims(shape)
     tx, tyl, ty = _point_tiles(nx, ny, Yp0, Zp0)
     if _tx is not None:
@@ -470,7 +521,7 @@ def point_layout(shape, _tx=None, _tyl=None):
     if _tyl is not None:
         if _tyl < 16 or _tyl % 8:
             raise ValueError("_tyl must be a multiple of 8, >= 16.")
-        tyl = _tyl
+        tyl = min(tyl, _tyl)
         ty = tyl - 8
     n_xtiles = -(-(nx - 1) // tx)
     n_ytiles = 1 if ty >= ny else max(1, -(-(ny - 1) // ty))
@@ -478,6 +529,82 @@ def point_layout(shape, _tx=None, _tyl=None):
     # without clipping (pad rows are zero and masked everywhere).
     min_yp = (n_ytiles - 1) * ty + tyl if n_ytiles > 1 else 0
     return tx, tyl, ty, n_xtiles, n_ytiles, min_yp
+
+
+# ----------------------------------------------------------------------
+# Hardware probe: compile-before-embed so a stale VMEM constant costs
+# throughput (XLA fallback), never correctness.
+# ----------------------------------------------------------------------
+
+def _probe_args(shape, dt):
+    """Abstract (e, s, arrays) pytrees for an AOT lowering of the
+    kernel at ``shape`` — no device memory is touched."""
+    nx, ny, nz = shape
+
+    def sds(sh):
+        return jax.ShapeDtypeStruct(sh, dt)
+
+    def c2(sh):
+        return cx.C2(sds(sh), sds(sh))
+
+    edges = ((nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+             (nx + 1, ny + 1, nz))
+    e = tuple(c2(sh) for sh in edges)
+    s = tuple(c2(sh) for sh in edges)
+    cells = (nx, ny, nz)
+    arrays = (c2(cells), c2(cells), c2(cells), sds(cells),
+              sds((nx,)), sds((ny,)), sds((nz,)))
+    return e, s, arrays
+
+
+def _try_compile(shape, dt, tx, tyl):
+    e, s, arrays = _probe_args(shape, dt)
+    gauss_seidel_point_pallas.lower(
+        e, s, arrays, nu=2, shape=tuple(shape), _tx=tx,
+        _tyl=tyl).compile()
+
+
+def point_probe(shape, dt=jnp.float32, risk_fraction=0.25):
+    """Validate (by AOT compile) that the kernel builds for ``shape``.
+
+    Returns True when the fused kernel is safe to embed in solver
+    jits; False routes the shape to the XLA smoother.  Verdicts are
+    cached per process.  Shapes whose estimated stack is below
+    ``risk_fraction`` of VMEM_LIMIT are trusted without compiling; a
+    failing first-choice config walks down a ladder of smaller tiles
+    and installs the first compiling one as the shape's override.
+    Off-TPU (CPU tests, interpret mode) everything is trusted.
+    """
+    shape = tuple(shape)
+    if shape in _POINT_OK:
+        return _POINT_OK[shape]
+    if not enabled():
+        _POINT_OK[shape] = True
+        return True
+
+    tx, tyl, ty, _, nyt, min_yp = point_layout(shape)
+    Zp = padded_dims(shape, min_yp)[1]
+    est = PLANES * (tx + 3) * tyl * Zp * 4
+    if est <= risk_fraction * VMEM_LIMIT:
+        _POINT_OK[shape] = True
+        return True
+
+    ladder = [(None, None)]
+    if tx > 4:
+        ladder.append((max(2, tx // 2), None))
+    small_tyl = 16 if tyl > 16 else None
+    ladder.append((2, small_tyl))
+    for cand in ladder:
+        try:
+            _try_compile(shape, dt, *cand)
+        except Exception:
+            continue
+        if cand != (None, None):
+            _TILE_OVERRIDE[shape] = cand
+        _POINT_OK[shape] = True
+        return True
+    _POINT_OK[shape] = False
+    return False
 
 
 def point_params(arrays, shape):
@@ -556,7 +683,7 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         input_output_aliases={1: 0},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )(colors, estack, sstack, pstack, ihx_p, ihy_p, ihz_p)
 
     return unpack_efield(out, (e[0].shape, e[1].shape, e[2].shape))

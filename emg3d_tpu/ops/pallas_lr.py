@@ -56,11 +56,12 @@ from .blocksolve import block_tridiag_factor, ldl_solve_factored
 from .coeffs import node_coefficients
 from .dsres import _ri
 from .pallas_gs import (pack_params, pack_fields, unpack_efield,
-                        padded_dims, slab_residual, _r)
+                        padded_dims, slab_residual, _r,
+                        _compiler_params)
 
 __all__ = ['line_relaxation_pallas', 'line_factors', 'line_params',
            'rotate_arrays', 'supported', 'supported_shape',
-           'factors_nbytes']
+           'factors_nbytes', 'line_probe', 'line_tiles']
 
 # Factor-stack plane order (indices into the NF=46 plane axis; each
 # entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
@@ -79,27 +80,142 @@ def supported(e, shape):
             and supported_shape(shape, 0))
 
 
+# Live (XL, Yp, Zp) planes per x-row of the residual kernel: 27
+# declared scratch + ~17 slab_residual temporaries (measured on v5e:
+# a divisor of 28 overflowed a 16 MiB budget by 2 MB at tx=14, 64³).
+_RES_PLANES = 44
+
+# Probe verdicts / tile overrides per rotated-frame shape (see
+# pallas_gs.point_probe for the pattern).
+_LINE_OK = {}
+_LINE_TILES = {}
+
+
+def _vmem_limit():
+    from .pallas_gs import VMEM_LIMIT
+    return VMEM_LIMIT
+
+
 def supported_shape(shape, axis):
     """Shape-only gate for lines along ``axis`` (rotated-frame dims).
 
-    Besides the minimum extents, both kernels must fit the 16 MB
-    scoped-vmem budget at their minimum tile sizes: the residual
-    kernel keeps ~44 (XL, Yp, Zp) planes live, and the Thomas kernel's
-    full-x substitution storage (es/rs/zs + factor chunks) scales with
-    nx·ty·Zp.  Larger grids fall back to the XLA path (128³-class
-    support needs y-tiled residual slabs and streamed zs — tracked).
+    A hardware probe verdict (:func:`line_probe`) takes precedence;
+    otherwise both kernels must fit the scoped-vmem budget
+    (pallas_gs.VMEM_LIMIT) at their minimum tile sizes: the residual
+    kernel keeps ~_RES_PLANES (XL, Yp, Zp) planes live, and the
+    Thomas kernel's full-x substitution storage (es/rs/zs + factor
+    chunks) scales with nx·ty·Zp.  Infeasible shapes fall back to the
+    XLA path (256³-class support needs streamed zs — tracked).
     """
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
     if not (rs[0] >= 8 and rs[1] >= 3 and rs[2] >= 3):
         return False
+    verdict = _LINE_OK.get(rs)
+    if verdict is not None:
+        return verdict
     Yp, Zp, NXP = padded_dims(rs)
-    budget = 14 * 1024 * 1024
+    budget = _vmem_limit()
     # Residual kernel: minimum slab is XL = tx + 2 with tx >= 2 (the
-    # driver's floor), i.e. 4 rows of ~44 live planes.
-    res_ok = 44 * 4 * Yp * Zp * 4 <= budget
-    th_ok = ((12 * NXP + 10 * rs[0]) * 8 * Zp
-             + 2 * 8 * _NF * 8 * Zp) * 4 <= budget
+    # driver's floor).
+    res_ok = _RES_PLANES * 4 * Yp * Zp * 4 <= budget
+    th_ok = _thomas_bytes(rs[0], NXP, 8, min(8, rs[0]), Zp) <= budget
     return res_ok and th_ok
+
+
+def _thomas_bytes(nx, NXP, ty, chx, Zp):
+    """Declared VMEM of the Thomas kernel (es+rs+zs+double fbuf),
+    plus a 1/3 headroom factor for the Mosaic vector stack."""
+    declared = ((12 * NXP + 10 * nx) * ty * Zp
+                + 2 * chx * _NF * ty * Zp) * 4
+    return declared * 4 // 3
+
+
+def line_tiles(shape):
+    """Default (tx, ty, chx) for the rotated-frame ``shape``.
+
+    A probe-installed override wins; otherwise the residual x-tile is
+    sized by the _RES_PLANES model under the scoped-vmem budget
+    (capped at 16 — flat beyond, like the point kernel), the Thomas
+    y-tile and factor chunk keep their measured-best 8.
+    """
+    ov = _LINE_TILES.get(tuple(shape))
+    if ov is not None:
+        return ov
+    nx, ny, nz = shape
+    Yp, Zp, _ = padded_dims(shape)
+    budget = _vmem_limit()
+    tx = max(2, min(nx, budget // (_RES_PLANES * Yp * Zp * 4) - 2, 16))
+    return int(tx), 8, min(8, nx)
+
+
+def _line_probe_args(rs, dt):
+    """Abstract (e, s, arrays, fstack) for an AOT lowering at the
+    rotated-frame shape ``rs``."""
+    nx, ny, nz = rs
+
+    def sds(sh):
+        return jax.ShapeDtypeStruct(sh, dt)
+
+    def c2(sh):
+        return cx.C2(sds(sh), sds(sh))
+
+    edges = ((nx, ny + 1, nz + 1), (nx + 1, ny, nz + 1),
+             (nx + 1, ny + 1, nz))
+    e = tuple(c2(sh) for sh in edges)
+    s = tuple(c2(sh) for sh in edges)
+    cells = (nx, ny, nz)
+    arrays = (c2(cells), c2(cells), c2(cells), sds(cells),
+              sds((nx,)), sds((ny,)), sds((nz,)))
+    Yp, Zp, _ = padded_dims(rs)
+    fstack = sds((nx, _NF, Yp, Zp))
+    return e, s, arrays, fstack
+
+
+def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
+    """Validate (by AOT compile) both line kernels for ``axis``.
+
+    Mirrors pallas_gs.point_probe: verdicts are cached per rotated-
+    frame shape, low-risk shapes are trusted, a failing first-choice
+    tx walks down and installs an override, and total failure routes
+    the shape to the XLA block-Thomas path.
+    """
+    from .pallas_gs import enabled
+    rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
+    if rs in _LINE_OK:
+        return _LINE_OK[rs]
+    if not enabled():
+        _LINE_OK[rs] = True
+        return True
+
+    nx, _, _ = rs
+    Yp, Zp, NXP = padded_dims(rs)
+    budget = _vmem_limit()
+    tx, ty, chx = line_tiles(rs)
+    est = max(_RES_PLANES * (tx + 2) * Yp * Zp * 4,
+              _thomas_bytes(nx, NXP, ty, chx, Zp))
+    if est <= risk_fraction * budget:
+        _LINE_OK[rs] = True
+        return True
+
+    ladder = [tx]
+    if tx > 4:
+        ladder.append(max(2, tx // 2))
+    if tx > 2:
+        ladder.append(2)
+    for cand in ladder:
+        try:
+            e, s, arrays, fstack = _line_probe_args(rs, dt)
+            _gs_line_x_pallas.lower(
+                e, s, arrays, fstack, nu=2, shape=rs,
+                _tx=cand).compile()
+        except Exception:
+            continue
+        if cand != tx:
+            _LINE_TILES[rs] = (cand, ty, chx)
+        _LINE_OK[rs] = True
+        return True
+    _LINE_OK[rs] = False
+    return False
 
 
 def factors_nbytes(shape, axis, itemsize=4):
@@ -423,21 +539,17 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
     rstack = jnp.zeros((6, NXP, Yp, Zp), dt)
 
     # Tile sizes: residual x-slabs like the point kernel; Thomas
-    # y-slabs sized so es+rs+zs+2 factor chunks stay in VMEM.
-    # Divisor 44 ≈ 27 scratch planes + ~17 live slab_residual
-    # temporaries per x-row: measured on v5e — 28 (tx=14 at 64³)
-    # overflows the 16M scoped-vmem stack by 2M.
-    plane = Yp * Zp * 4
-    tx = _tx if _tx is not None else min(nx, max(2, (14 << 20)
-                                                 // (44 * plane)))
-    tx = max(1, min(tx, nx))
+    # y-slabs sized so es+rs+zs+2 factor chunks stay in VMEM (see
+    # _RES_PLANES / _thomas_bytes for the calibrated budget model; a
+    # probe-installed override wins).
+    dtx, dty, dchx = line_tiles(shape)
+    tx = max(1, min(_tx if _tx is not None else dtx, nx))
     ntx = -(-nx // tx)
 
-    ty = _ty if _ty is not None else 8
-    ty = min(ty, Yp)
+    ty = min(_ty if _ty is not None else dty, Yp)
     to = ty - 2
     nyt = max(1, -(-(ny - 1) // to))
-    chx = _chx if _chx is not None else min(8, nx)
+    chx = _chx if _chx is not None else dchx
     nch = -(-nx // chx)
 
     seq = []
@@ -462,7 +574,7 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
         ],
         input_output_aliases={6: 0},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )
 
     thomas_grid = pltpu.PrefetchScalarGridSpec(
@@ -486,7 +598,7 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         input_output_aliases={3: 0},
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=_compiler_params(),
     )
 
     def body(carry, color):

@@ -1,6 +1,16 @@
 """Inversion building blocks: misfit and adjoint-state gradient.
 
-Reference parity: /root/reference/emg3d/optimize.py.
+Functional parity with /root/reference/emg3d/optimize.py (same
+quantities, limitations and data side effects); structured around two
+small helpers instead of the reference's inline flow:
+
+- :func:`_weighted_residual` — the (residual, weights) pair, computing
+  forward fields on demand and recording both into the survey data.
+- :func:`_pair_gradient` — one (source, frequency) contribution to the
+  model-grid gradient.
+
+For a differentiable end-to-end path (``jax.grad`` through the solve)
+see :mod:`emg3d_tpu.diff`.
 """
 import numpy as np
 
@@ -9,86 +19,88 @@ from . import maps
 __all__ = ['misfit', 'gradient']
 
 
-def misfit(simulation):
-    r"""Weighted least-squares data misfit φ = ½ Σ ||W (d_syn − d_obs)||².
+def _weighted_residual(simulation):
+    """(residual, weights) of the survey, stored into the data views.
 
-    Stores ``residual`` and ``weights`` (1/std²) in the survey data;
-    triggers ``compute()`` if fields are missing.
-    Reference parity: emg3d/optimize.py:36-112.
+    Runs ``simulation.compute()`` first if any forward field is still
+    missing.  Weights are 1/σ² from the survey's standard deviation;
+    its absence is an error because the misfit is σ-weighted by
+    definition.
     """
     std = simulation.survey.standard_deviation
     if std is None:
         raise ValueError(
-            "Either `noise_floor` or `relative_error` or both must\n"
-            "be provided (>0) to compute the `standard_deviation`.\n"
-            "It can also be set directly (same shape as data).\n"
-            "The standard deviation is required to compute the misfit.")
+            "The misfit requires the survey's standard_deviation: set "
+            "noise_floor and/or relative_error (> 0), or assign "
+            "standard_deviation directly (shaped like the data).")
 
-    test_efield = sum(
-        1 if simulation._dict_efield[src][freq] is None else 0
-        for src, freq in simulation._srcfreq)
-    if test_efield:
+    fields = simulation._dict_efield
+    if any(fields[src][freq] is None
+           for src, freq in simulation._srcfreq):
         simulation.compute()
 
-    residual = simulation.data.synthetic - simulation.data.observed
-    simulation.data['residual'] = residual
+    data = simulation.data
+    data['residual'] = data.synthetic - data.observed
+    if 'weights' not in data.keys():
+        data['weights'] = np.asarray(std) ** -2.0
+    return data['residual'], data['weights']
 
-    if 'weights' not in simulation.data.keys():
-        simulation.data['weights'] = 1 / np.asarray(std)**2
-    weights = simulation.data['weights']
 
-    phi = np.nansum(weights * (residual.conj() * residual)).real / 2
-    return phi
+def misfit(simulation):
+    r"""Weighted least-squares data misfit φ = ½ Σ |W (d_syn − d_obs)|².
+
+    NaN observations (missing receivers) drop out of the sum.  Stores
+    ``residual`` and ``weights`` in the survey data as side effects.
+    Reference parity: emg3d/optimize.py:36-112.
+    """
+    residual, weights = _weighted_residual(simulation)
+    return np.nansum(weights * np.abs(np.asarray(residual)) ** 2) / 2
+
+
+def _pair_gradient(simulation, src, freq):
+    """One (src, freq) pair's gradient on the *model* grid.
+
+    g_edges = −Re(λ̄ ∘ E ∘ sμ0) on the pair's computational grid, cell-
+    averaged (× V/4), then cubic-interpolated back to the model grid.
+    """
+    lam = simulation._dict_bfield[src][freq]
+    ef = simulation._dict_efield[src][freq]
+    cgrid = simulation._dict_grid[src][freq]
+
+    edge = {
+        ax: -np.real(np.asarray(getattr(lam, 'f' + ax)) *
+                     np.asarray(getattr(ef, 'f' + ax)) * ef.smu0)
+        for ax in 'xyz'
+    }
+    cell = maps.edges2cellaverages(edge['x'], edge['y'], edge['z'],
+                                   np.asarray(cgrid.cell_volumes))
+    return maps.grid2grid(cgrid, -sum(cell), simulation.grid,
+                          method='cubic')
 
 
 def gradient(simulation):
     r"""Adjoint-state gradient of the misfit ([PlMu08] Eq. 10).
 
-    Limitations (as in the reference): isotropic conductivity models
-    only, no ε_r or μ_r.
-
-    Per (src, freq): g_edges = −Re(λ̄ · E · s μ0), mapped to cell
-    centers (edges2cellaverages, × V/4), interpolated (cubic) back to
-    the model grid, summed; finally the mapping's derivative chain is
-    applied.  Reference parity: emg3d/optimize.py:115-217.
+    Same limitations as the reference: isotropic conductivity-class
+    models without ε_r or μ_r.  Triggers the misfit (hence forward
+    fields) and the back-propagated adjoint fields, accumulates each
+    pair's model-grid contribution, then applies the property map's
+    derivative chain.  Reference parity: emg3d/optimize.py:115-217.
     """
-    if simulation.model.case != 0:
+    model = simulation.model
+    if model.case != 0:
         raise NotImplementedError(
             "Gradient only implemented for isotropic models.")
+    for name, value in (('el. permittivity', model.epsilon_r),
+                        ('magn. permeability', model.mu_r)):
+        if value is not None and not np.allclose(value, 1.0):
+            raise NotImplementedError(
+                f"Gradient not implemented for {name}.")
 
-    var = (simulation.model.epsilon_r, simulation.model.mu_r)
-    for v, n in zip(var, ('el. permittivity', 'magn. permeability')):
-        if v is not None and not np.allclose(v, 1.0):
-            raise NotImplementedError(f"Gradient not implemented for {n}.")
+    _ = simulation.misfit          # ensures forward fields + residual
+    simulation._bcompute()         # adjoint (back-propagated) fields
 
-    # Ensure misfit (and thus forward fields) are computed.
-    _ = simulation.misfit
-
-    # Back-propagate the weighted residuals (receivers as sources).
-    simulation._bcompute()
-
-    grad_model = np.zeros(simulation.grid.shape_cells)
-
-    for src, freq in simulation._srcfreq:
-        bf = simulation._dict_bfield[src][freq]
-        ef = simulation._dict_efield[src][freq]
-        smu0 = ef.smu0
-
-        gfx = -np.real(np.asarray(bf.fx) * np.asarray(ef.fx) * smu0)
-        gfy = -np.real(np.asarray(bf.fy) * np.asarray(ef.fy) * smu0)
-        gfz = -np.real(np.asarray(bf.fz) * np.asarray(ef.fz) * smu0)
-
-        cgrid = simulation._dict_grid[src][freq]
-        vol = np.asarray(cgrid.cell_volumes)
-        gx, gy, gz = maps.edges2cellaverages(gfx, gfy, gfz, vol)
-        grad = gx + gy + gz
-
-        # Back to the model grid (cubic interpolation of -grad).
-        tgrad = maps.grid2grid(cgrid, -grad, simulation.grid,
-                               method='cubic')
-        grad_model += tgrad
-
-    simulation.model.map.derivative_chain(
-        grad_model, simulation.model.property_x)
-
-    return grad_model
+    total = sum(_pair_gradient(simulation, src, freq)
+                for src, freq in simulation._srcfreq)
+    simulation.model.map.derivative_chain(total, model.property_x)
+    return total

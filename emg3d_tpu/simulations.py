@@ -86,10 +86,11 @@ class Simulation:
         self._gradient = None
         self._misfit = None
 
+        self._shared = {}      # {(kind, *share_key): grid or model}
         if self.gridding == 'dict':
             self._dict_grid = gridding_opts
         elif self.gridding == 'input':
-            self._grid_single = gridding_opts
+            self._input_grid = gridding_opts
         elif self.gridding == 'same':
             if gridding_opts:
                 raise TypeError(
@@ -141,72 +142,53 @@ class Simulation:
                 [float(f) for f in self.survey.frequencies]))
         return self.__srcfreq
 
+    # Per-pair grids/models are shared at the granularity the gridding
+    # mode implies; one cache dict keyed by that granularity replaces
+    # the reference's per-mode cache attributes.
+
+    def _share_key(self, source, freq):
+        """Resource-sharing granularity of the gridding mode."""
+        return {
+            'frequency': ('freq', freq),
+            'source': ('src', source),
+            'both': ('pair', source, freq),
+        }.get(self.gridding, ('all',))
+
+    def _build_grid(self, source, freq):
+        if self.gridding == 'same':
+            return self.grid
+        if self.gridding == 'input':
+            return self._input_grid
+        opts = dict(self.gridding_opts)
+        if self.gridding in ('frequency', 'both'):
+            opts['frequency'] = freq
+        if self.gridding in ('source', 'both'):
+            opts['center'] = \
+                self.survey.sources[source].coordinates[:3]
+        return meshes.construct_mesh(**opts)
+
     def get_grid(self, source, frequency):
         """Computational grid for (source, frequency)."""
         freq = float(frequency)
-        if self._dict_grid[source][freq] is not None:
-            return self._dict_grid[source][freq]
-
-        if self.gridding == 'same':
-            self._dict_grid[source][freq] = self.grid
-        elif self.gridding == 'frequency':
-            if not hasattr(self, '_grid_frequency'):
-                self._grid_frequency = {}
-            if freq not in self._grid_frequency:
-                inp = {**self.gridding_opts, 'frequency': freq}
-                self._grid_frequency[freq] = meshes.construct_mesh(**inp)
-            self._dict_grid[source][freq] = self._grid_frequency[freq]
-        elif self.gridding == 'source':
-            if not hasattr(self, '_grid_source'):
-                self._grid_source = {}
-            if source not in self._grid_source:
-                center = self.survey.sources[source].coordinates[:3]
-                inp = {**self.gridding_opts, 'center': center}
-                self._grid_source[source] = meshes.construct_mesh(**inp)
-            self._dict_grid[source][freq] = self._grid_source[source]
-        elif self.gridding == 'both':
-            center = self.survey.sources[source].coordinates[:3]
-            inp = {**self.gridding_opts, 'frequency': freq,
-                   'center': center}
-            self._dict_grid[source][freq] = meshes.construct_mesh(**inp)
-        else:  # 'single' / 'input'.
-            if not hasattr(self, '_grid_single'):
-                self._grid_single = meshes.construct_mesh(
-                    **self.gridding_opts)
-            self._dict_grid[source][freq] = self._grid_single
-        return self.get_grid(source, frequency)
+        if self._dict_grid[source][freq] is None:
+            key = ('grid', *self._share_key(source, freq))
+            if key not in self._shared:
+                self._shared[key] = self._build_grid(source, freq)
+            self._dict_grid[source][freq] = self._shared[key]
+        return self._dict_grid[source][freq]
 
     def get_model(self, source, frequency):
         """Model on the computational grid of (source, frequency)."""
         freq = float(frequency)
-        if self._dict_model[source][freq] is not None:
-            return self._dict_model[source][freq]
-
-        if self.gridding == 'same':
-            self._dict_model[source][freq] = self.model
-        elif self.gridding == 'frequency':
-            if not hasattr(self, '_model_frequency'):
-                self._model_frequency = {}
-            if freq not in self._model_frequency:
-                self._model_frequency[freq] = self.model.interpolate2grid(
-                    self.grid, self.get_grid(source, freq))
-            self._dict_model[source][freq] = self._model_frequency[freq]
-        elif self.gridding == 'source':
-            if not hasattr(self, '_model_source'):
-                self._model_source = {}
-            if source not in self._model_source:
-                self._model_source[source] = self.model.interpolate2grid(
-                    self.grid, self.get_grid(source, freq))
-            self._dict_model[source][freq] = self._model_source[source]
-        elif self.gridding == 'both':
-            self._dict_model[source][freq] = self.model.interpolate2grid(
-                self.grid, self.get_grid(source, freq))
-        else:
-            if not hasattr(self, '_model_single'):
-                self._model_single = self.model.interpolate2grid(
-                    self.grid, self.get_grid(source, freq))
-            self._dict_model[source][freq] = self._model_single
-        return self.get_model(source, frequency)
+        if self._dict_model[source][freq] is None:
+            key = ('model', *self._share_key(source, freq))
+            if key not in self._shared:
+                cgrid = self.get_grid(source, freq)
+                self._shared[key] = self.model \
+                    if self.gridding == 'same' else \
+                    self.model.interpolate2grid(self.grid, cgrid)
+            self._dict_model[source][freq] = self._shared[key]
+        return self._dict_model[source][freq]
 
     def get_sfield(self, source, frequency):
         """Source field for (source, frequency)."""
@@ -557,7 +539,7 @@ class Simulation:
                 out['survey']['data'].pop(key, None)
 
         if self.gridding == 'input':
-            out['gridding_opts'] = self._grid_single
+            out['gridding_opts'] = self._input_grid
         elif self.gridding == 'dict':
             out['gridding_opts'] = self._dict_grid
         elif self.gridding != 'same':

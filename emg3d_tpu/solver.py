@@ -119,45 +119,48 @@ class MGParameters:
 
     @property
     def max_level(self):
-        """Dimension-dependent coarsest level per sc_dir."""
-        inp_clevel = np.inf if self.clevel < 0 else self.clevel
+        """Per-axis 2-divisibility depth -> per-sc_dir coarsest level.
 
-        clevel = np.zeros(3, dtype=int)
-        for i in range(3):
-            n = self.shape_cells[i]
-            while n % 2 == 0 and n > 2:
-                clevel[i] += 1
-                n //= 2
-        for i in range(3):
-            if -1 < self.clevel < clevel[i]:
-                clevel[i] = self.clevel
-
-        self.clevel = np.array([
-            max(clevel[0], clevel[1], clevel[2]),
-            max(clevel[1], clevel[2]),
-            max(clevel[0], clevel[2]),
-            max(clevel[0], clevel[1]),
-        ])
-
-        sx = int(self.shape_cells[0] / 2**clevel[0])
-        sy = int(self.shape_cells[1] / 2**clevel[1])
-        sz = int(self.shape_cells[2] / 2**clevel[2])
-        self.pclevel = {'nC': sx*sy*sz, 'vnC': (sx, sy, sz),
-                        'clevel': clevel}
-
-        check_inp = zip(clevel, [sx, sy, sz])
-        low_prime = any(cl < inp_clevel and sl > 7 for cl, sl in check_inp)
-        min_div = any(clevel < min(inp_clevel, 3))
-        self.pclevel['message'] = (
-            "  :: Grid not optimal for MG solver ::"
-            if low_prime or min_div else "")
-
-        if np.any(np.array(self.shape_cells) < 2):
+        Fills ``clevel`` (a 4-entry table indexed by sc_dir: which
+        axes keep coarsening) and ``pclevel`` (coarsest-grid QC info,
+        including the 'not optimal' warning when an axis stops early
+        on an odd factor or never reaches 3 coarsenings).
+        """
+        nx, ny, nz = self.shape_cells
+        if min(self.shape_cells) < 2:
             raise ValueError(
                 "Nr. of cells must be at least two in each direction\n"
-                "Provided shape: "
-                f"({self.shape_cells[0]}, {self.shape_cells[1]}, "
-                f"{self.shape_cells[2]}).")
+                f"Provided shape: ({nx}, {ny}, {nz}).")
+
+        requested = None if self.clevel < 0 else int(self.clevel)
+
+        def depth(n):
+            d = 0
+            while n % 2 == 0 and n > 2:
+                d += 1
+                n //= 2
+            return d if requested is None else min(d, requested)
+
+        dx, dy, dz = (depth(n) for n in self.shape_cells)
+        # sc_dir semantics: 0 = coarsen all axes, 1 = y/z only,
+        # 2 = x/z only, 3 = x/y only.
+        self.clevel = np.array([max(dx, dy, dz), max(dy, dz),
+                                max(dx, dz), max(dx, dy)])
+
+        shape_coarse = tuple(n >> d for n, d
+                             in zip(self.shape_cells, (dx, dy, dz)))
+        limit = np.inf if requested is None else requested
+        stopped_early = any(
+            d < limit and n > 7
+            for d, n in zip((dx, dy, dz), shape_coarse))
+        too_shallow = any(d < min(limit, 3) for d in (dx, dy, dz))
+        self.pclevel = {
+            'nC': int(np.prod(shape_coarse)),
+            'vnC': shape_coarse,
+            'clevel': np.array([dx, dy, dz]),
+            'message': "  :: Grid not optimal for MG solver ::"
+                       if stopped_early or too_shallow else "",
+        }
 
     def cprint(self, info, verbosity, **kwargs):
         if self.verb > verbosity:
@@ -621,7 +624,9 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
     out = [None, None, None]
     any_ax = False
     for ax in _lr_axes(lr):
-        if not pallas_lr.supported_shape(lev.shape, ax):
+        # Gate + probe-compile before embedding (see _level_pparams).
+        if not (pallas_lr.supported_shape(lev.shape, ax)
+                and pallas_lr.line_probe(lev.shape, ax)):
             continue
         if ax not in lev.fstacks:
             nbytes = pallas_lr.factors_nbytes(lev.shape, ax)
@@ -655,7 +660,11 @@ def _level_pparams(lev, lr_dir, mesh=None, batch=False):
         return None
     if _current_lr_dir(lr_dir, lev.shape) != 0:
         return None
-    if not pallas_gs.supported_shape(lev.shape):
+    # Probe-compile before embedding in solver jits: a VMEM-infeasible
+    # configuration must fall back to the XLA smoother, never crash
+    # the solve (the probe verdict also drives supported_shape).
+    if not (pallas_gs.supported_shape(lev.shape)
+            and pallas_gs.point_probe(lev.shape)):
         return None
     if lev.pparams is None:
         lev.pparams = pallas_gs.point_params(lev.arrays, lev.shape)
@@ -833,6 +842,15 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
     if lvl > 0 and mesh is None and dbg is None and \
             int(np.prod(lev.shape)) <= _FUSE_CELLS:
+        # Probe every shape the fused sub-tree will embed a Pallas
+        # kernel for BEFORE tracing it (verdicts feed supported()).
+        if not batch:
+            from .ops import pallas_gs
+            if pallas_gs.enabled() and isinstance(lev.arrays[0], cx.C2):
+                for lv in levels[lvl:]:
+                    if _current_lr_dir(conf[4], lv.shape) == 0 and \
+                            pallas_gs.supported_shape(lv.shape):
+                        pallas_gs.point_probe(lv.shape)
         fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf,
                           batch=batch)
         arrays = tuple(lv.arrays for lv in levels[lvl:])

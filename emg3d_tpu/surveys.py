@@ -333,87 +333,82 @@ class Survey:
     # -- dipole parsing (reference parity: surveys.py:709-821) ----------
 
     def _dipole_info_to_dict(self, inp, name):
-        if isinstance(inp, list):  # List of Dipoles.
-            if self.fixed and name == 'receiver':
-                nd = len(inp)
-                ns = len(self.sources)
-                nr = nd // ns
-                dnr = len(str(nr - 1))
-                rec_names = [f"{i:0{dnr}d}" for i in range(nr)]
-                src_names = list(self.sources.keys())
-                if nd % ns != 0:
-                    raise ValueError(
-                        "For fixed surveys, the number of receivers\n"
-                        "must be a multiple of number of sources.\n"
-                        f"Provided: #src: {ns}; #rec: {nd}.")
-                out = {'Off' + rn: {} for rn in rec_names}
-                for i, key in enumerate(out.keys()):
-                    for ii, src_name in enumerate(src_names):
-                        out[key][src_name] = inp[ii + i * ns]
-            else:
-                out = {d.name: d for d in inp}
-                if len(out) != len(inp):
-                    raise ValueError(
-                        f"There are duplicate {name} names.\n"
-                        f"Provided {name}s: {len(inp)}; "
-                        f"unique names: {len(out)}.")
+        """Normalize sources/receivers input to the survey dict layout.
 
-        elif isinstance(inp, tuple):  # Coordinate tuples.
-            if isinstance(inp[-1], (list, tuple, np.ndarray)):
-                provided_elmag = isinstance(
-                    np.asarray(inp[-1]).ravel()[0], (bool, np.bool_))
-            else:
-                provided_elmag = isinstance(inp[-1], (bool, np.bool_))
+        Accepted forms: a flat list of Dipoles, a tuple of coordinate
+        arrays (broadcast columns, optional trailing electric/magnetic
+        flags), or an (optionally nested) dict of Dipoles /
+        serialized dipole dicts.  Fixed surveys group receivers by
+        offset: the flat order is offset-major over the sources.
+        """
+        grouped = self.fixed and name == 'receiver'
 
-            nd = max(np.array(n, ndmin=1).size for n in inp)
-            coo = np.array([nd * [val] if np.array(val).size == 1 else
-                            val for val in inp], dtype=np.float64)
+        if isinstance(inp, dict):
+            def thaw(v):
+                return v if isinstance(v, Dipole) \
+                    else Dipole.from_dict(v)
 
-            if provided_elmag:
-                elmag = coo[-1, :]
-                coo = coo[:-1, :]
-            else:
-                elmag = np.ones(nd)
+            if grouped:
+                return {off: {src: thaw(d) for src, d in by_src.items()}
+                        for off, by_src in inp.items()}
+            return {key: thaw(v) for key, v in inp.items()}
 
-            prefix = 'Tx' if name == 'source' else 'Rx'
-            dnd = len(str(nd - 1))
-            names = [f"{prefix}{i:0{dnd}d}" for i in range(nd)]
-
-            if self.fixed and name == 'receiver':
-                ns = len(self.sources)
-                nr = nd // ns
-                dnr = len(str(nr - 1))
-                rec_names = [f"{i:0{dnr}d}" for i in range(nr)]
-                src_names = list(self.sources.keys())
-                if nd % ns != 0:
-                    raise ValueError(
-                        "For fixed surveys, the number of receivers\n"
-                        "must be a multiple of number of sources.\n"
-                        f"Provided: #src: {ns}; #rec: {nd}.")
-                out = {'Off' + rn: {} for rn in rec_names}
-                for i, key in enumerate(out.keys()):
-                    for ii, src_name in enumerate(src_names):
-                        iii = ii + i * ns
-                        out[key][src_name] = Dipole(
-                            names[iii], coo[:, iii], elmag[iii])
-            else:
-                out = {names[i]: Dipole(names[i], coo[:, i], elmag[i])
-                       for i in range(nd)}
-
-        elif isinstance(inp, dict):  # De-serialized dipoles.
-            def _mk(v):
-                return v if isinstance(v, Dipole) else Dipole.from_dict(v)
-            if self.fixed and name == 'receiver':
-                out = {}
-                for k, v in inp.items():
-                    out[k] = {k2: _mk(v2) for k2, v2 in v.items()}
-            else:
-                out = {k: _mk(v) for k, v in inp.items()}
-
+        if isinstance(inp, tuple):
+            dipoles = self._dipoles_from_coordinates(inp, name)
+        elif isinstance(inp, list):
+            dipoles = inp
         else:
-            raise TypeError(
-                f"Input format of <{name}s> not recognized: {type(inp)}.")
+            raise TypeError(f"Input format of <{name}s> not "
+                            f"recognized: {type(inp)}.")
+
+        if grouped:
+            return self._group_by_offset(dipoles)
+        out = {d.name: d for d in dipoles}
+        if len(out) != len(dipoles):
+            raise ValueError(
+                f"There are duplicate {name} names.\n"
+                f"Provided {name}s: {len(dipoles)}; "
+                f"unique names: {len(out)}.")
         return out
+
+    @staticmethod
+    def _dipoles_from_coordinates(inp, name):
+        """Tuple of coordinate arrays -> flat list of auto-named
+        Dipoles.  Scalars broadcast over the longest entry; a trailing
+        boolean entry provides per-dipole electric/magnetic flags."""
+        has_flags = isinstance(np.asarray(inp[-1]).ravel()[0],
+                               (bool, np.bool_))
+        coords, flags = (inp[:-1], inp[-1]) if has_flags \
+            else (inp, True)
+
+        nd = max(np.size(v) for v in inp)
+        cols = np.vstack([np.broadcast_to(
+            np.asarray(v, dtype=np.float64).ravel(), (nd,))
+            for v in coords])
+        electric = np.broadcast_to(np.asarray(flags).ravel(), (nd,))
+
+        prefix = 'Tx' if name == 'source' else 'Rx'
+        width = len(str(nd - 1))
+        return [Dipole(f"{prefix}{i:0{width}d}", cols[:, i],
+                       bool(electric[i])) for i in range(nd)]
+
+    def _group_by_offset(self, dipoles):
+        """Fixed-survey receivers: the i-th block of len(sources)
+        entries holds offset i's receiver for each source, in the
+        sources' order."""
+        ns = len(self.sources)
+        nd = len(dipoles)
+        if nd % ns:
+            raise ValueError(
+                "For fixed surveys, the number of receivers\n"
+                "must be a multiple of number of sources.\n"
+                f"Provided: #src: {ns}; #rec: {nd}.")
+        width = len(str(nd // ns - 1))
+        src_names = list(self.sources)
+        return {f"Off{j:0{width}d}":
+                {src: dipoles[j * ns + i]
+                 for i, src in enumerate(src_names)}
+                for j in range(nd // ns)}
 
 
 @dataclass(order=True, unsafe_hash=True)

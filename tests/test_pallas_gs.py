@@ -70,3 +70,54 @@ def test_pallas_single_color_exact():
             np.testing.assert_allclose(
                 np.asarray(cx.tocomplex(b)),
                 np.asarray(cx.tocomplex(a)), atol=5e-6)
+
+
+def test_infeasible_shape_falls_back_to_xla(monkeypatch):
+    """A shape whose kernel cannot compile must degrade to the XLA
+    smoother (round-2 lesson: BENCH_r02 crashed on a stale VMEM gate).
+
+    On the CPU backend every hardware Mosaic compile fails, so forcing
+    ``enabled()`` on exercises the full probe walk-down ending in a
+    False verdict — and the solver dispatch must then not touch the
+    Pallas kernel at all.
+    """
+    from emg3d_tpu.ops import pallas_gs
+    from emg3d_tpu import solver
+
+    shape = (8, 8, 8)
+    e, s, par = _setup(shape)
+
+    monkeypatch.setattr(pallas_gs, '_ENABLED', True)
+    monkeypatch.setattr(pallas_gs, '_POINT_OK', {})
+    monkeypatch.setattr(pallas_gs, '_TILE_OVERRIDE', {})
+
+    assert pallas_gs.point_probe(shape, risk_fraction=0.0) is False
+    assert pallas_gs.supported_shape(shape) is False
+
+    def boom(*a, **k):
+        raise AssertionError("Pallas kernel dispatched for an "
+                             "infeasible shape")
+
+    monkeypatch.setattr(pallas_gs, 'gauss_seidel_point_pallas', boom)
+    out = solver._smooth(e, s, par, nu=1, lr_dir=0, shape=shape)
+    ref = smoothers.gauss_seidel_point(*e, *s, *par, nu=1)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(cx.tocomplex(b)),
+                                   np.asarray(cx.tocomplex(a)))
+
+
+def test_probe_trusts_low_risk_and_caches(monkeypatch):
+    """Shapes far under the VMEM budget are trusted without compiling;
+    verdicts are cached per process."""
+    from emg3d_tpu.ops import pallas_gs
+
+    monkeypatch.setattr(pallas_gs, '_ENABLED', True)
+    monkeypatch.setattr(pallas_gs, '_POINT_OK', {})
+
+    calls = []
+    monkeypatch.setattr(pallas_gs, '_try_compile',
+                        lambda *a: calls.append(a))
+    assert pallas_gs.point_probe((8, 8, 8)) is True   # low risk
+    assert calls == []
+    assert pallas_gs.point_probe((8, 8, 8)) is True   # cached
+    assert pallas_gs.supported_shape((8, 8, 8)) is True
