@@ -21,7 +21,7 @@ from .surveys import Survey, Dipole, PointDipole
 from .simulations import Simulation, expand_grid_model
 from .utils import EMArray, Report
 from .time import Fourier
-from . import cx, io, optimize, parallel, time
+from . import cx, diff, io, optimize, parallel, time
 
 __all__ = [
     'TensorMesh', 'construct_mesh', 'good_mg_cell_nr', 'skin_depth',
@@ -30,5 +30,6 @@ __all__ = [
     'get_receiver_response', 'get_h_field',
     'grid2grid', 'interp3d',
     'solve', 'solve_batched', 'Survey', 'Dipole', 'PointDipole', 'Simulation',
-    'expand_grid_model', 'EMArray', 'Report', 'cx', 'io', 'optimize',
+    'expand_grid_model', 'EMArray', 'Report', 'cx', 'diff', 'io',
+    'optimize',
 ]

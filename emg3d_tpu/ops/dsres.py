@@ -153,12 +153,18 @@ def _cds(hi, lo):
 
 
 def _collapse(c, proto):
-    """DS result -> the representation of ``proto`` (hi + lo folded)."""
+    """DS result -> the representation of ``proto`` (hi + lo folded).
+
+    The explicit cast pins the result to the storage dtype: on x64
+    test configs weak-typed f64 intermediates would otherwise reach
+    the f32 scatter below (a JAX FutureWarning, soon an error).
+    """
     re = c[0][0] + c[0][1]
     im = c[1][0] + c[1][1]
     if isinstance(proto, cx.C2):
-        return cx.C2(re, im)
-    return re + 1j * im
+        dt = proto.re.dtype
+        return cx.C2(re.astype(dt), im.astype(dt))
+    return (re + 1j * im).astype(proto.dtype)
 
 
 def residual_ds(ehi, elo, s, arrays):

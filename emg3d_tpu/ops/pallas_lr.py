@@ -61,7 +61,7 @@ from .pallas_gs import (pack_params, pack_fields, unpack_efield,
 
 __all__ = ['line_relaxation_pallas', 'line_factors', 'line_params',
            'rotate_arrays', 'supported', 'supported_shape',
-           'factors_nbytes', 'line_probe', 'line_tiles']
+           'factors_nbytes', 'line_probe', 'line_tiles', 'line_layout']
 
 # Factor-stack plane order (indices into the NF=46 plane axis; each
 # entry is a re/im pair).  L is the strict-lower LDLᵀ factor of the
@@ -116,36 +116,72 @@ def supported_shape(shape, axis):
     Yp, Zp, NXP = padded_dims(rs)
     budget = _vmem_limit()
     # Residual kernel: minimum slab is XL = tx + 2 with tx >= 2 (the
-    # driver's floor).
+    # driver's floor).  Thomas: minimum TY=16 slab, chx=4 chunks.
     res_ok = _RES_PLANES * 4 * Yp * Zp * 4 <= budget
-    th_ok = _thomas_bytes(rs[0], NXP, 8, min(8, rs[0]), Zp) <= budget
+    th_ok = _thomas_bytes(rs[0], NXP, 16, min(4, rs[0]), Zp) <= budget
     return res_ok and th_ok
 
 
 def _thomas_bytes(nx, NXP, ty, chx, Zp):
     """Declared VMEM of the Thomas kernel (es+rs+zs+double fbuf),
-    plus a 1/3 headroom factor for the Mosaic vector stack."""
+    plus headroom for the Mosaic vector stack — small for this kernel
+    (station temporaries are single (ty, Zp) tiles; measured at 128³:
+    58.6 MB declared compiled under a 64 MB limit)."""
     declared = ((12 * NXP + 10 * nx) * ty * Zp
                 + 2 * chx * _NF * ty * Zp) * 4
-    return declared * 4 // 3
+    return declared + (8 << 20)
 
 
 def line_tiles(shape):
-    """Default (tx, ty, chx) for the rotated-frame ``shape``.
+    """Default (tx, TY, chx) for the rotated-frame ``shape``.
 
     A probe-installed override wins; otherwise the residual x-tile is
     sized by the _RES_PLANES model under the scoped-vmem budget
     (capped at 16 — flat beyond, like the point kernel), the Thomas
-    y-tile and factor chunk keep their measured-best 8.
+    slab TY takes the largest of 24/16 that fits (measured on v5e at
+    64³: TY=16/to=14 ran 3.2 ms vs 4.1 ms at TY=8 for nu=2), and the
+    factor chunk drops from 8 to 4 when the 8-chunk double buffer
+    would not fit.
     """
     ov = _LINE_TILES.get(tuple(shape))
     if ov is not None:
         return ov
     nx, ny, nz = shape
-    Yp, Zp, _ = padded_dims(shape)
+    Yp, Zp, NXP = padded_dims(shape)
     budget = _vmem_limit()
     tx = max(2, min(nx, budget // (_RES_PLANES * Yp * Zp * 4) - 2, 16))
-    return int(tx), 8, min(8, nx)
+    chx = min(8, nx)
+    TY = 16
+    if _thomas_bytes(nx, NXP, 24, chx, Zp) <= budget:
+        TY = 24
+    elif _thomas_bytes(nx, NXP, 16, chx, Zp) > budget and nx > 4:
+        chx = min(4, nx)
+    return int(tx), TY, chx
+
+
+def line_layout(shape, _tx=None, _ty=None, _chx=None):
+    """(tx, TY, to, chx, ntx, nyt, min_yp) of the line kernels.
+
+    Deterministic in the rotated-frame ``shape`` (plus explicit
+    overrides), so factor/parameter stacks cached by the solver are
+    laid out exactly as the kernel expects.  TY is the Thomas slab
+    y-extent (multiple of 8, >= 16), ``to = TY - 8`` the owned lines
+    per tile, ``min_yp`` the Yp padding that lets the last aligned
+    slab [nyt-1·to, +TY) avoid end-clipping.
+    """
+    nx, ny, nz = shape
+    dtx, dTY, dchx = line_tiles(shape)
+    tx = max(1, min(_tx if _tx is not None else dtx, nx))
+    TY = _ty if _ty is not None else dTY
+    if TY < 16 or TY % 8:
+        raise ValueError("Thomas slab extent must be a multiple of 8 "
+                         f">= 16; got {TY}.")
+    to = TY - 8
+    nyt = max(1, -(-(ny - 1) // to))
+    min_yp = (nyt - 1) * to + TY
+    chx = _chx if _chx is not None else dchx
+    ntx = -(-nx // tx)
+    return tx, TY, to, chx, ntx, nyt, min_yp
 
 
 def _line_probe_args(rs, dt):
@@ -166,7 +202,7 @@ def _line_probe_args(rs, dt):
     cells = (nx, ny, nz)
     arrays = (c2(cells), c2(cells), c2(cells), sds(cells),
               sds((nx,)), sds((ny,)), sds((nz,)))
-    Yp, Zp, _ = padded_dims(rs)
+    Yp, Zp, _ = padded_dims(rs, line_layout(rs)[6])
     fstack = sds((nx, _NF, Yp, Zp))
     return e, s, arrays, fstack
 
@@ -188,11 +224,11 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
         return True
 
     nx, _, _ = rs
-    Yp, Zp, NXP = padded_dims(rs)
     budget = _vmem_limit()
-    tx, ty, chx = line_tiles(rs)
+    tx, TY, to, chx, _, _, min_yp = line_layout(rs)
+    Yp, Zp, NXP = padded_dims(rs, min_yp)
     est = max(_RES_PLANES * (tx + 2) * Yp * Zp * 4,
-              _thomas_bytes(nx, NXP, ty, chx, Zp))
+              _thomas_bytes(nx, NXP, TY, chx, Zp))
     if est <= risk_fraction * budget:
         _LINE_OK[rs] = True
         return True
@@ -211,7 +247,7 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
         except Exception:
             continue
         if cand != tx:
-            _LINE_TILES[rs] = (cand, ty, chx)
+            _LINE_TILES[rs] = (cand, TY, chx)
         _LINE_OK[rs] = True
         return True
     _LINE_OK[rs] = False
@@ -221,18 +257,21 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
 def factors_nbytes(shape, axis, itemsize=4):
     """HBM bytes of the factor stack for lines along ``axis``."""
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
-    Yp, Zp, _ = padded_dims(rs)
+    Yp, Zp, _ = padded_dims(rs, line_layout(rs)[6])
     return rs[0] * _NF * Yp * Zp * itemsize
 
 
-@functools.partial(jax.jit, static_argnames=('shape', 'axis'))
-def line_factors(arrays, shape, axis):
+@functools.partial(jax.jit,
+                   static_argnames=('shape', 'axis', 'min_yp'))
+def line_factors(arrays, shape, axis, min_yp=None):
     """Padded factor stack (S, 46, Yp, Zp) for lines along ``axis``.
 
     Model-dependent only: computed once per (level, axis) per solve
     and reused across all colors, sweeps and cycles.  For axis 1/2 the
     stack is built in the rotated frame that
-    :func:`line_relaxation_pallas` runs the kernel in.
+    :func:`line_relaxation_pallas` runs the kernel in.  ``min_yp``
+    defaults to the kernel's own layout padding so the cached stack
+    matches the slabs the Thomas kernel will DMA.
     """
     from .smoothers import _line_blocks_x
 
@@ -247,7 +286,9 @@ def line_factors(arrays, shape, axis):
     D, B = _line_blocks_x(c, arrays[0], nx)
     factsL, factsd, _ = block_tridiag_factor(D, B)
 
-    Yp, Zp, _ = padded_dims(shape)
+    if min_yp is None:
+        min_yp = line_layout(shape)[6]
+    Yp, Zp, _ = padded_dims(shape, min_yp)
     dt = cx.real_dtype_of(arrays[0])
 
     def pad(a):
@@ -352,11 +393,20 @@ def _up1(a):
     return _r(a, (a.re if isinstance(a, cx.C2) else a).shape[1] - 1, 1)
 
 
-def _kernel_thomas(color_ref, *refs, nx, nyz, ty, chx, nch):
+def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
     """One y-tile: full-x substitution for every line, masked update.
 
     refs: HBM inputs [rstack, fstack, estack(aliased)], output estack,
     scratch [es, rs, zs, fbuf, sems, fsems].
+
+    ``to`` (owned lines per tile) is a static multiple of 8 so the
+    slab offset tile·to is PROVABLY sublane-aligned, and ``ty`` (the
+    slab extent) a static multiple of 8 so the slice length is too:
+    at Zp >= 256 Mosaic rejects (compiler-crashes on) dim-2 dynamic
+    slices of 4-D HBM arrays with unaligned offset OR length — the
+    Zp=128 leniency of round 2 does not carry (measured; see
+    scripts/hw_bisect_zp256.py).  The driver pads Yp so the last
+    tile's slab fits without clipping.
     """
     ny, nz = nyz
     r_hbm, f_hbm = refs[0], refs[1]
@@ -365,12 +415,10 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, chx, nch):
     sems, fsems = refs[8], refs[9]
 
     TY = ty
-    to = TY - 2
     tile = pl.program_id(0)
-    Yp = e_out.shape[2]
-    ly = 1 + tile * to                      # first owned line
+    y0 = tile * to
+    ly = 1 + y0                             # first owned line
     lhi = jnp.minimum(ly + to, ny)          # one past last owned line
-    y0 = jnp.clip(tile * to, 0, Yp - TY)
 
     cps = [
         pltpu.make_async_copy(e_out.at[:, :, pl.ds(y0, TY)], es,
@@ -528,29 +576,26 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
     """nu sweeps of 4-color x-line relaxation as fused Pallas steps."""
     nx, ny, nz = shape
     dt = e[0].re.dtype
-    Yp, Zp, NXP = padded_dims(shape)
+
+    # Tile sizes: residual x-slabs like the point kernel; Thomas
+    # y-slabs of ``to`` owned lines (multiple of 8 -> provably aligned
+    # dim-2 HBM slices; mandatory at Zp >= 256) + 8 halo/slack rows,
+    # sized so es+rs+zs+2 factor chunks stay in VMEM (see _RES_PLANES
+    # / _thomas_bytes; a probe-installed override wins).
+    tx, ty, to, chx, ntx, nyt, min_yp = line_layout(
+        shape, _tx=_tx, _ty=_ty, _chx=_chx)
+    nch = -(-nx // chx)
+
+    Yp, Zp, NXP = padded_dims(shape, min_yp)
     if params is not None and params[0].shape == (9, NXP, Yp, Zp):
         pstack, ihx_p, ihy_p, ihz_p = params
     else:
-        pstack, ihx_p, ihy_p, ihz_p = pack_params(tuple(arrays), shape)
-    estack, sstack = pack_fields(e, s, shape)
-    if fstack is None:
-        fstack = line_factors(arrays, shape, 0)
+        pstack, ihx_p, ihy_p, ihz_p = pack_params(tuple(arrays), shape,
+                                                  min_yp=min_yp)
+    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp)
+    if fstack is None or fstack.shape != (nx, _NF, Yp, Zp):
+        fstack = line_factors(arrays, shape, 0, min_yp=min_yp)
     rstack = jnp.zeros((6, NXP, Yp, Zp), dt)
-
-    # Tile sizes: residual x-slabs like the point kernel; Thomas
-    # y-slabs sized so es+rs+zs+2 factor chunks stay in VMEM (see
-    # _RES_PLANES / _thomas_bytes for the calibrated budget model; a
-    # probe-installed override wins).
-    dtx, dty, dchx = line_tiles(shape)
-    tx = max(1, min(_tx if _tx is not None else dtx, nx))
-    ntx = -(-nx // tx)
-
-    ty = min(_ty if _ty is not None else dty, Yp)
-    to = ty - 2
-    nyt = max(1, -(-(ny - 1) // to))
-    chx = _chx if _chx is not None else dchx
-    nch = -(-nx // chx)
 
     seq = []
     for it in range(nu):
@@ -593,7 +638,7 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
     )
     thomas_call = pl.pallas_call(
         functools.partial(_kernel_thomas, nx=nx, nyz=(ny, nz), ty=ty,
-                          chx=chx, nch=nch),
+                          to=to, chx=chx, nch=nch),
         grid_spec=thomas_grid,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         input_output_aliases={3: 0},
@@ -644,7 +689,8 @@ def line_params(arrays_rot, shape, axis):
     frame (cached per (level, axis) by the solver alongside the factor
     stack; ``arrays_rot`` is :func:`rotate_arrays`' result)."""
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
-    return pack_params(tuple(arrays_rot), rs)
+    return pack_params(tuple(arrays_rot), rs,
+                       min_yp=line_layout(rs)[6])
 
 
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,

@@ -1889,6 +1889,9 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
     # TensorBoard/xprof to see per-kernel device timelines.
     profile = kwargs.pop('profile', None) or \
         os.environ.get('EMG3D_TPU_PROFILE')
+    # Prebuilt volume parameters (diff.py's AD path injects η/ζ
+    # directly; ``model`` is then unused and may be None).
+    vmodel_inp = kwargs.pop('_vmodel', None)
     var = MGParameters(
         verb=verb, cycle=cycle, sslsolver=sslsolver,
         linerelaxation=linerelaxation, semicoarsening=semicoarsening,
@@ -1902,7 +1905,8 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
                f"v{__import__('emg3d_tpu').__version__}\n", 2)
     var.cprint(var, 2)
 
-    vmodel = models.VolumeModel(grid, model, sfield)
+    vmodel = vmodel_inp if vmodel_inp is not None \
+        else models.VolumeModel(grid, model, sfield)
 
     if efield is None:
         efield = fields.Field.zeros(

@@ -1,0 +1,82 @@
+"""Native JAX AD through the solve (emg3d_tpu.diff).
+
+Gold-standard check: jax.grad of a receiver-sampled misfit wrt
+log-conductivity matches central finite differences to <1% per tested
+cell (SURVEY §7.1 item 10; the hand adjoint of optimize.py is FD-
+checked the same way in test_simulations.py).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from emg3d_tpu import TensorMesh, cx, diff, fields
+
+
+@pytest.fixture(scope='module')
+def setup():
+    n = 16
+    grid = TensorMesh([np.full(n, 100.)] * 3, origin=(-800, -800, -800))
+    freq = 1.0
+    sfield = fields.get_source_field(
+        grid, (0, 0, 0, 0, 0), freq, strength=0)
+    s = tuple(cx.aspair(np.asarray(f)) for f in
+              (sfield.fx, sfield.fy, sfield.fz))
+
+    # "Receivers": unit samples of a few interior x-edges (a linear
+    # sampling operator with exact AD adjoint).
+    w = []
+    for (i, j, k) in [(10, 8, 8), (5, 9, 7), (11, 11, 9)]:
+        wx = np.zeros((n, n + 1, n + 1))
+        wx[i, j, k] = 1.0
+        w.append((0, jnp.asarray(wx)))
+
+    fsolve = diff.make_differentiable_solve(grid, freq, tol=1e-10,
+                                            verb=0)
+
+    def misfit(log_sigma, d_obs):
+        sigma = jnp.exp(log_sigma)
+        eta, zeta = diff.eta_zeta_from_sigma(grid, sigma, freq)
+        e = fsolve((eta, eta, eta, zeta), s)
+        d = diff.sample_edges(e, w)
+        return 0.5 * jnp.sum((d - d_obs) ** 2)
+
+    sig_true = np.ones((n, n, n))
+    sig_true[6:10, 6:10, 6:10] = 3.0
+    # Observed data from the true model (concrete forward run).
+    eta_t, zeta_t = diff.eta_zeta_from_sigma(
+        grid, jnp.asarray(sig_true), freq)
+    e_t = fsolve((eta_t, eta_t, eta_t, zeta_t), s)
+    d_obs = diff.sample_edges(e_t, w)
+
+    log_sig0 = jnp.asarray(np.log(np.ones((n, n, n))))
+    return grid, misfit, log_sig0, d_obs
+
+
+def test_grad_matches_fd(setup):
+    _, misfit, log_sig0, d_obs = setup
+    g = jax.grad(misfit)(log_sig0, d_obs)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+
+    h = 1e-5
+    base = np.asarray(log_sig0)
+    for (i, j, k) in [(8, 8, 8), (10, 8, 8), (6, 9, 7)]:
+        up = base.copy()
+        up[i, j, k] += h
+        dn = base.copy()
+        dn[i, j, k] -= h
+        fd = (float(misfit(jnp.asarray(up), d_obs))
+              - float(misfit(jnp.asarray(dn), d_obs))) / (2 * h)
+        rel = abs(g[i, j, k] - fd) / max(abs(fd), 1e-30)
+        assert rel < 0.01, (g[i, j, k], fd, rel)
+
+
+def test_grad_source_is_adjoint_field(setup):
+    """The s-cotangent is the adjoint field λ: finite, complex pair."""
+    _, misfit, log_sig0, d_obs = setup
+    # Gradient wrt the source flows through the same custom VJP; here
+    # just exercise value_and_grad jointly for finiteness.
+    val, g = jax.value_and_grad(misfit)(log_sig0, d_obs)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(g)).all()

@@ -18,7 +18,8 @@ from test_pallas_gs import _setup
 
 @pytest.mark.parametrize('shape,tune', [
     ((12, 8, 8), {}),
-    ((16, 10, 6), dict(_ty=8, _chx=4)),
+    # _ty=16 -> to=8 owned lines: 2 aligned y tiles at ny=10.
+    ((16, 10, 6), dict(_ty=16, _chx=4)),
     ((9, 7, 9), dict(_tx=3, _chx=3)),
 ])
 def test_pallas_line_x_matches_xla(shape, tune):
