@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from .. import cx
 
 __all__ = ['ldl_solve_sparse', 'ldl_factor', 'ldl_apply', 'ldl_apply_mat',
-           'block_tridiag_solve']
+           'block_tridiag_solve', 'block_tridiag_factor_entries',
+           'block_tridiag_solve_entries']
 
 
 def ldl_factor_sparse(n, entries):
@@ -231,6 +232,155 @@ def block_tridiag_solve_factored(factsL, factsd, Ws, B, r):
         (factsL[:-1], factsd[:-1], ys[:-1], B[1:]),
         reverse=True)
     return cx.concatenate([xs, xS[None]], axis=0)
+
+
+def _lower_keys(n):
+    return [(i, j) for i in range(n) for j in range(i)]
+
+
+def block_tridiag_factor_entries(n, Dent, Bent):
+    """Sparse-entry block-Thomas elimination (field-independent part).
+
+    Like :func:`block_tridiag_factor` but the blocks never exist as
+    dense ``(..., n, n)`` arrays: ``Dent``/``Bent`` are dicts of
+    ``(S, ...)`` per-entry stacks (missing = structurally zero; Dent
+    holds the lower triangle of the symmetric diagonal blocks), and
+    the factors come back as one ``(S, ...)`` stack per strict-lower
+    entry plus the inverse diagonals.  For the 5×5 line-relaxation
+    blocks this stores 15 entry stacks instead of the dense path's
+    25-entry L + 25-entry W + dense B (≈3× less HBM — the difference
+    between OOM and fitting at 256³), skips every multiply against a
+    structural zero of B, and needs no W matmuls at all: the solve
+    uses the ``z = C⁻¹(r − B z₋)`` form (exactly the Pallas Thomas
+    kernel's recurrence, ops/pallas_lr.py:_kernel_thomas).
+    """
+    from jax import lax
+
+    lk = _lower_keys(n)
+
+    def station(ent, i):
+        return {k: v[i] for k, v in ent.items()}
+
+    def full_fact(L, dinv):
+        """Carry structure: every strict-lower entry present."""
+        zero = 0.0 * dinv[0]
+        return (tuple(L.get(k, zero) for k in lk), tuple(dinv))
+
+    f0 = full_fact(*ldl_factor_sparse(n, station(Dent, i=0)))
+
+    dkeys = sorted(Dent.keys())
+    bkeys = sorted(Bent.keys())
+    brows = {}                       # row a -> list of (k, key)
+    for (a, k) in bkeys:
+        brows.setdefault(a, []).append(k)
+
+    def fwd(carry, inp):
+        Lp, dp = carry
+        Dv, Bv = inp
+        Ld = dict(zip(lk, Lp))
+        B = dict(zip(bkeys, Bv))
+        D = dict(zip(dkeys, Dv))
+
+        # cols[b] = C_{i-1}^{-1} (row b of B_i)  [= col b of C⁻¹B_iᵀ].
+        zero = 0.0 * dp[0]
+        cols = {}
+        for b in brows:
+            rhs = [B.get((b, k), zero) for k in range(n)]
+            cols[b] = ldl_solve_factored(n, Ld, list(dp), rhs)
+
+        # C_i = D_i − B_i cols  (lower triangle; B row a is sparse).
+        C = {}
+        for a in range(n):
+            for b in range(a + 1):
+                acc = D.get((a, b))
+                if a in brows and b in cols:
+                    for k in brows[a]:
+                        t = B[(a, k)] * cols[b][k]
+                        acc = (-t) if acc is None else (acc - t)
+                if acc is not None:
+                    C[(a, b)] = acc
+        facti = full_fact(*ldl_factor_sparse(n, C))
+        return facti, facti
+
+    _, (Ls, ds) = lax.scan(fwd, f0, (tuple(Dent[k][1:] for k in dkeys),
+                                     tuple(Bent[k][1:] for k in bkeys)))
+    L_all = tuple(cx.concatenate([a[None], b], axis=0)
+                  for a, b in zip(f0[0], Ls))
+    d_all = tuple(cx.concatenate([a[None], b], axis=0)
+                  for a, b in zip(f0[1], ds))
+    return L_all, d_all
+
+
+def block_tridiag_solve_entries(n, facts, Bent, r):
+    """Solve with :func:`block_tridiag_factor_entries` factors.
+
+    ``r`` is a list of n ``(S, ...)`` arrays; returns the same.
+    """
+    from jax import lax
+
+    lk = _lower_keys(n)
+    L_all, d_all = facts
+    bkeys = sorted(Bent.keys())
+    brows = {}
+    for (a, k) in bkeys:
+        brows.setdefault(a, []).append(k)
+
+    def solve_one(Lv, dv, y):
+        return ldl_solve_factored(n, dict(zip(lk, Lv)), list(dv), y)
+
+    # Forward: z_i = C_i^{-1}(r_i − B_i z_{i-1}).
+    z0 = solve_one([v[0] for v in L_all], [v[0] for v in d_all],
+                   [v[0] for v in r])
+
+    def fwd(zp, inp):
+        Lv, dv, Bv, rv = inp
+        B = dict(zip(bkeys, Bv))
+        y = []
+        for a in range(n):
+            acc = rv[a]
+            for k in brows.get(a, ()):
+                acc = acc - B[(a, k)] * zp[k]
+            y.append(acc)
+        z = tuple(solve_one(Lv, dv, y))
+        return z, z
+
+    _, zs = lax.scan(fwd, tuple(z0),
+                     (tuple(v[1:] for v in L_all),
+                      tuple(v[1:] for v in d_all),
+                      tuple(Bent[k][1:] for k in bkeys),
+                      tuple(v[1:] for v in r)))
+    zs = tuple(cx.concatenate([a[None], b], axis=0)
+               for a, b in zip(z0, zs))
+
+    # Backward: δ_i = z_i − C_i^{-1}(B_{i+1}ᵀ δ_{i+1});  (Bᵀ)_{ak} = B_{ka}.
+    bcols = {}                      # col a of Bᵀ ↔ entries B_{ka}
+    for (k, a) in bkeys:
+        bcols.setdefault(a, []).append(k)
+
+    dS = tuple(v[-1] for v in zs)
+
+    def bwd(dn, inp):
+        Lv, dv, Bv, zv = inp
+        B = dict(zip(bkeys, Bv))
+        u = []
+        for a in range(n):
+            acc = None
+            for k in bcols.get(a, ()):
+                t = B[(k, a)] * dn[k]
+                acc = t if acc is None else acc + t
+            u.append(acc if acc is not None else 0.0 * zv[a])
+        cu = solve_one(Lv, dv, u)
+        d = tuple(z - c for z, c in zip(zv, cu))
+        return d, d
+
+    _, ds_ = lax.scan(bwd, dS,
+                      (tuple(v[:-1] for v in L_all),
+                       tuple(v[:-1] for v in d_all),
+                       tuple(Bent[k][1:] for k in bkeys),
+                       tuple(v[:-1] for v in zs)),
+                      reverse=True)
+    return [cx.concatenate([low, dS[i][None]], axis=0)
+            for i, low in enumerate(ds_)]
 
 
 def block_tridiag_solve(D, B, r):

@@ -131,6 +131,20 @@ def _compiler_params():
 _ENABLED = None
 
 
+def _mosaic_target():
+    """True when probe compiles hit a real Mosaic (TPU) compiler.
+
+    Split from :func:`enabled` so CPU tests can force-enable the
+    dispatch (kernels then run in interpreter mode, nothing to probe)
+    or force-enable the probe walk-down (every compile fails → the
+    False verdict must route to the XLA smoother).
+    """
+    try:
+        return jax.default_backend() == 'tpu'
+    except Exception:
+        return False
+
+
 def enabled():
     """Use the fused kernel?  TPU backend and not explicitly disabled."""
     global _ENABLED
@@ -578,7 +592,9 @@ def point_probe(shape, dt=jnp.float32, risk_fraction=0.25):
     shape = tuple(shape)
     if shape in _POINT_OK:
         return _POINT_OK[shape]
-    if not enabled():
+    if not enabled() or not _mosaic_target():
+        # Not a Mosaic target (e.g. force-enabled on CPU to test the
+        # dispatch in interpreter mode): nothing to probe-compile.
         _POINT_OK[shape] = True
         return True
 

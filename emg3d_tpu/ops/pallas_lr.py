@@ -216,10 +216,13 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
     the shape to the XLA block-Thomas path.
     """
     from .pallas_gs import enabled
+    from .pallas_gs import _mosaic_target
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
     if rs in _LINE_OK:
         return _LINE_OK[rs]
-    if not enabled():
+    if not enabled() or not _mosaic_target():
+        # Not a Mosaic target (e.g. force-enabled on CPU to test the
+        # dispatch in interpreter mode): nothing to probe-compile.
         _LINE_OK[rs] = True
         return True
 

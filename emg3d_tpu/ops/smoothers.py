@@ -31,7 +31,9 @@ from .. import cx
 from . import stencil
 from .blocksolve import (ldl_factor_sparse, ldl_solve_factored,
                          block_tridiag_factor,
-                         block_tridiag_solve_factored)
+                         block_tridiag_solve_factored,
+                         block_tridiag_factor_entries,
+                         block_tridiag_solve_entries)
 from .coeffs import node_coefficients, node_block_entries
 
 __all__ = ['gauss_seidel_point', 'line_relaxation']
@@ -189,34 +191,118 @@ def _line_blocks_x(c, proto, nx):
     return D, B
 
 
-def _parity_split(a, ny2, nz2, tail):
-    """(S, Ny, Nz, *tail) -> (S, 2, 2, ny2, nz2, *tail) by (y, z) parity.
+def _line_entries_x_parity(c, nx, ny2, nz2):
+    """Station-block ENTRIES in parity-split padded layout.
 
-    Axis 1 is y-parity, axis 2 z-parity (Ny = 2*ny2, Nz = 2*nz2).
+    The 5×5 station blocks of the x-line system are sparse (13 unique
+    symmetric D entries, 8 B entries); this builds each entry as one
+    ``(nx, 2, 2, ny2, nz2)`` stack (axes 1/2 = y/z parity) for the
+    sparse-entry Thomas engine (ops/blocksolve.py:
+    block_tridiag_factor_entries).  Dense ``(..., 5, 5)`` blocks never
+    exist: at 256³ the old build-pad-split-factor path peaked at 22 GB
+    of D-sized HLO temps and OOMed the 16 GB HBM; the entries path
+    stores 15 factor stacks + 8 B stacks (≈3× smaller) and its
+    construction temporaries are entry-sized.
+
+    Padded (out-of-range) transverse nodes get identity diagonals, as
+    does the ex-only last station's transverse rows — those lines'
+    solutions are zero (zero rhs) and cropped.
     """
+    ent = node_block_entries(c)
+    nsh = ent[(0, 0)].shape  # (nx-1, nyn, nzn)
+    nyn, nzn = nsh[1], nsh[2]
+
+    def quarters(v):
+        """full(ent) -> zero-padded (nx-1, 2, 2, ny2, nz2) parities."""
+        rows = []
+        for py in (0, 1):
+            row = []
+            for pz in (0, 1):
+                q = cx.broadcast_to(v, nsh)[:, py::2, pz::2]
+                qs = (q.re if isinstance(q, cx.C2) else q).shape
+                row.append(cx.pad(q, ((0, 0), (0, ny2 - qs[1]),
+                                      (0, nz2 - qs[2]))))
+            rows.append(cx.stack(row, axis=1))
+        return cx.stack(rows, axis=1)
+
+    # padmask (2, 2, ny2, nz2): 1 at padded (out-of-range) nodes —
+    # quarter index (q, r) at parity (py, pz) is node (2q+py, 2r+pz).
+    jj = (2 * jnp.arange(ny2)[None, None, :, None]
+          + jnp.arange(2)[:, None, None, None])
+    kk = (2 * jnp.arange(nz2)[None, None, None, :]
+          + jnp.arange(2)[None, :, None, None])
+    pm = ((jj >= nyn) | (kk >= nzn)).astype(
+        cx.real_dtype_of(ent[(0, 0)]))
+
+    def padx(a, lo, hi):
+        return cx.pad(a, ((lo, hi), (0, 0), (0, 0), (0, 0), (0, 0)))
+
+    _D_MAP = {(0, 0): (0, 0), (1, 1): (2, 2), (2, 2): (3, 3),
+              (3, 3): (4, 4), (4, 4): (5, 5), (1, 0): (2, 0),
+              (2, 0): (3, 0), (3, 0): (4, 0), (4, 0): (5, 0),
+              (3, 1): (4, 2), (4, 1): (5, 2), (3, 2): (4, 3),
+              (4, 2): (5, 3)}
+    Dent = {}
+    for (a, b), key in _D_MAP.items():
+        body = quarters(ent[key])
+        if a == b:
+            body = body + pm[None]
+            if a == 0:
+                last = quarters(ent[(1, 1)])[-1:] + pm[None]
+            else:
+                last = cx.zeros_like(body[:1]) + 1.0
+            Dent[(a, b)] = cx.concatenate([body, last], axis=0)
+        else:
+            Dent[(a, b)] = padx(body, 0, 1)
+
+    byy_m = -(c.mzxLym * c.ihxm)
+    byy_p = -(c.mzxLyp * c.ihxm)
+    bzz_m = -(c.myxLzm * c.ihxm)
+    bzz_p = -(c.myxLzp * c.ihxm)
+    Bent = {(0, 1): padx(quarters(ent[(2, 1)]), 1, 0),
+            (0, 2): padx(quarters(ent[(3, 1)]), 1, 0),
+            (0, 3): padx(quarters(ent[(4, 1)]), 1, 0),
+            (0, 4): padx(quarters(ent[(5, 1)]), 1, 0),
+            (1, 1): padx(quarters(byy_m)[1:], 1, 1),
+            (2, 2): padx(quarters(byy_p)[1:], 1, 1),
+            (3, 3): padx(quarters(bzz_m)[1:], 1, 1),
+            (4, 4): padx(quarters(bzz_p)[1:], 1, 1)}
+    return Dent, Bent
+
+
+def _parity_pick(a, cy, cz, ny2, nz2):
+    """(S, Ny, Nz) -> the (cy, cz)-parity quarter (S, ny2, nz2)."""
+    from jax import lax, tree_util
+
     S = (a.re if isinstance(a, cx.C2) else a).shape[0]
-    a = cx.reshape(a, (S, ny2, 2, nz2, 2) + tail)
-    perm = (0, 2, 4, 1, 3) + tuple(5 + i for i in range(len(tail)))
-    return cx.transpose(a, perm)
+    sh = (a.re if isinstance(a, cx.C2) else a).shape
+    a = cx.pad(a, ((0, 0), (0, 2 * ny2 - sh[1]), (0, 2 * nz2 - sh[2])))
+    a = cx.reshape(a, (S, ny2, 2, nz2, 2))
+    return tree_util.tree_map(
+        lambda x: lax.dynamic_index_in_dim(
+            lax.dynamic_index_in_dim(x, cz, axis=4, keepdims=False),
+            cy, axis=2, keepdims=False), a)
 
 
-def _parity_join(a, ny2, nz2, tail):
-    """Inverse of :func:`_parity_split`."""
-    S = (a.re if isinstance(a, cx.C2) else a).shape[0]
-    perm = (0, 3, 1, 4, 2) + tuple(5 + i for i in range(len(tail)))
-    a = cx.transpose(a, perm)
-    return cx.reshape(a, (S, 2 * ny2, 2 * nz2) + tail)
+def _parity_embed(d, cy, cz, nyn, nzn):
+    """Inverse of :func:`_parity_pick`: quarter -> (S, nyn, nzn) with
+    zeros at the three inactive parities."""
+    S, ny2, nz2 = (d.re if isinstance(d, cx.C2) else d).shape
+    full = cx.zeros((S, ny2, 2, nz2, 2), like=d)
+    full = full.at[:, :, cy, :, cz].set(d)
+    return cx.reshape(full, (S, 2 * ny2, 2 * nz2))[:, :nyn, :nzn]
 
 
-def _line_color_update_x(e, s, par, facts, Bp, color, nyz2):
+def _line_color_update_x(e, s, par, facts, Bent, color, nyz2):
     """One color of the 4-color x-line update.
 
     Lines need 4 colors (transverse (y, z) parity) — adjacent and
     diagonal lines are coupled through the operator, so only full
     transverse-parity separation yields a true multicolor block-GS
     step.  Only the active color's quarter of lines is solved: the
-    factors arrive parity-decomposed ((S, 2, 2, ny2, nz2, ...)) and
-    ``color`` (traced scalar, cy + 2*cz) dynamically indexes them.
+    factor entry stacks arrive parity-decomposed
+    ((S, 2, 2, ny2, nz2)) and ``color`` (traced scalar, cy + 2*cz)
+    dynamically indexes them.
     """
     from jax import lax, tree_util
 
@@ -226,22 +312,19 @@ def _line_color_update_x(e, s, par, facts, Bp, color, nyz2):
     nyn = rx.shape[1] - 2          # interior node counts
     nzn = rx.shape[2] - 2
 
-    # Station residuals (nx, ny-1, nz-1, 5), zero-padded to even
-    # transverse extents for the parity reshape.
-    pad = ((0, 1), (0, 0), (0, 0))
-    r = cx.stack([
-        rx[:, 1:-1, 1:-1],
-        cx.pad(ry[1:-1, :-1, 1:-1], pad),
-        cx.pad(ry[1:-1, 1:, 1:-1], pad),
-        cx.pad(rz[1:-1, 1:-1, :-1], pad),
-        cx.pad(rz[1:-1, 1:-1, 1:], pad),
-    ], axis=-1)
-    r = cx.pad(r, ((0, 0), (0, 2 * ny2 - nyn), (0, 2 * nz2 - nzn),
-                   (0, 0)))
-    rp = _parity_split(r, ny2, nz2, (5,))
-
     cy = color % 2
     cz = color // 2
+
+    # Station residuals: 5 component stacks (nx, ny2, nz2), parity-
+    # picked (never materialized as a dense (..., 5) array).
+    padx1 = ((0, 1), (0, 0), (0, 0))
+    rq = [_parity_pick(a, cy, cz, ny2, nz2) for a in (
+        rx[:, 1:-1, 1:-1],
+        cx.pad(ry[1:-1, :-1, 1:-1], padx1),
+        cx.pad(ry[1:-1, 1:, 1:-1], padx1),
+        cx.pad(rz[1:-1, 1:-1, :-1], padx1),
+        cx.pad(rz[1:-1, 1:-1, 1:], padx1),
+    )]
 
     def pick(t):
         return tree_util.tree_map(
@@ -249,20 +332,20 @@ def _line_color_update_x(e, s, par, facts, Bp, color, nyz2):
                 lax.dynamic_index_in_dim(x, cy, axis=1, keepdims=False),
                 cz, axis=1, keepdims=False), t)
 
-    delta = block_tridiag_solve_factored(*pick(facts), pick(Bp),
-                                         pick(rp))
+    facts_q = pick(facts)
+    Bent_q = {k: pick(v) for k, v in Bent.items()}
+    delta = block_tridiag_solve_entries(5, facts_q, Bent_q, rq)
 
-    # Re-embed the quarter solution at its parity slot, back to full
-    # layout; the other parities stay zero, so the static scatter
-    # below adds nothing there (no mask needed).
-    full = cx.zeros_like(rp).at[:, cy, cz].set(delta)
-    dm = _parity_join(full, ny2, nz2, (5,))[:, :nyn, :nzn]
+    # Re-embed each quarter solution at its parity slot; the other
+    # parities stay zero, so the static scatter below adds nothing
+    # there (no mask needed).
+    dm = [_parity_embed(d, cy, cz, nyn, nzn) for d in delta]
 
-    ex = ex.at[:, 1:-1, 1:-1].add(dm[..., 0])
-    ey = ey.at[1:-1, :-1, 1:-1].add(dm[:-1, ..., 1])
-    ey = ey.at[1:-1, 1:, 1:-1].add(dm[:-1, ..., 2])
-    ez = ez.at[1:-1, 1:-1, :-1].add(dm[:-1, ..., 3])
-    ez = ez.at[1:-1, 1:-1, 1:].add(dm[:-1, ..., 4])
+    ex = ex.at[:, 1:-1, 1:-1].add(dm[0])
+    ey = ey.at[1:-1, :-1, 1:-1].add(dm[1][:-1])
+    ey = ey.at[1:-1, 1:, 1:-1].add(dm[2][:-1])
+    ez = ez.at[1:-1, 1:-1, :-1].add(dm[3][:-1])
+    ez = ez.at[1:-1, 1:-1, 1:].add(dm[4][:-1])
     return ex, ey, ez
 
 
@@ -273,41 +356,29 @@ def _gs_line_x(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     par = (eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     c = node_coefficients(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     nx = ex.shape[0]
-    D, B = _line_blocks_x(c, _proto(ex), nx)
 
-    # Parity-decompose the stations so each color solves only its own
-    # quarter of the lines (the old path solved ALL lines every color
-    # step — 4x redundant Thomas work).  Transverse extents are padded
-    # to even with identity diagonal blocks (solutions there are zero
-    # and cropped).
+    # Parity-decomposed stations: each color solves only its own
+    # quarter of the lines (solving ALL lines every color step would
+    # be 4x redundant Thomas work).  Transverse extents are padded to
+    # even with identity diagonal blocks (solutions there are zero and
+    # cropped).  Blocks live as sparse ENTRY stacks — see
+    # _line_entries_x_parity for why (256³ HBM peak).
     nyn = ex.shape[1] - 2          # interior node counts (ny-1, nz-1)
     nzn = ex.shape[2] - 2
     ny2, nz2 = -(-nyn // 2), -(-nzn // 2)
-    pad_y, pad_z = 2 * ny2 - nyn, 2 * nz2 - nzn
-    D = cx.pad(D, ((0, 0), (0, pad_y), (0, pad_z), (0, 0), (0, 0)))
-    B = cx.pad(B, ((0, 0), (0, pad_y), (0, pad_z), (0, 0), (0, 0)))
-    if pad_y or pad_z:
-        jj = jnp.arange(2 * ny2)[:, None]
-        kk = jnp.arange(2 * nz2)[None, :]
-        padmask = ((jj >= nyn) | (kk >= nzn)).astype(D.re.dtype
-                                                     if isinstance(D, cx.C2)
-                                                     else D.dtype)
-        for a in range(5):
-            D = D.at[:, :, :, a, a].add(padmask[None])
-    Dp = _parity_split(D, ny2, nz2, (5, 5))
-    Bp = _parity_split(B, ny2, nz2, (5, 5))
+    Dent, Bent = _line_entries_x_parity(c, nx, ny2, nz2)
 
     # Field-independent block-Thomas elimination: factor once per
     # smoothing call (all 4 parities batched), reuse across all 4*nu
     # color updates.
-    facts = block_tridiag_factor(Dp, Bp)
+    facts = block_tridiag_factor_entries(5, Dent, Bent)
     e = (ex, ey, ez)
     s = (sx, sy, sz)
 
     def step(e, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
-        return _line_color_update_x(e, s, par, facts, Bp, color,
+        return _line_color_update_x(e, s, par, facts, Bent, color,
                                     (ny2, nz2)), None
 
     its = jnp.repeat(jnp.arange(nu), 4)

@@ -1,35 +1,51 @@
-"""Explicit shard_map halo-exchange smoother (z-partitioned).
+"""Explicit shard_map halo-exchange smoothers (y/z/2-D meshes).
 
 The GSPMD path (:mod:`emg3d_tpu.parallel.sharding`) lets the compiler
 place the halo exchanges of the partitioned stencil.  This module is
-the explicit pipeline for the >90%-of-runtime op — the point smoother
-(reference hot-spot ranking: docs/cpu_and_ram.rst:37-47) — written as
-one ``jax.shard_map`` region over a 1-D z mesh:
+the explicit pipeline for the >90%-of-runtime ops — the point smoother
+and the line-relaxation smoother (reference hot-spot ranking:
+docs/cpu_and_ram.rst:37-47) — written as one ``jax.shard_map`` region
+per smoothing call over a ``('y',)``, ``('z',)`` or 2-D ``('y', 'z')``
+device mesh:
 
-- **Blocked layout.** Every 3-D array is z-padded to ``ndev·c`` planes
-  (``c = ⌈(nz+1)/ndev⌉``) and split along z; shard ``d`` owns global
-  node planes ``[d·c, (d+1)·c)``.  Cell-registered arrays (ez, η, ζ,
-  hz) use the same ``c`` so node/cell slices stay aligned per shard.
+- **Blocked layout.** Every 3-D array is padded along each sharded
+  grid axis to ``ndev·c`` planes (``c = ⌈(n+1)/ndev⌉`` nodes) and
+  split; shard ``d`` owns global node planes ``[d·c, (d+1)·c)``.
+  Cell-registered arrays (η, ζ, h, the cell-direction field component)
+  use the same ``c`` so node/cell slices stay aligned per shard.
 - **One-plane halos via ppermute.** Per color step each shard pulls
   its neighbors' boundary planes (``lax.ppermute`` over the ICI ring;
   unpaired edges produce the zero planes of the global boundary), runs
   the IDENTICAL color update math as the single-device smoother on its
-  haloed slab, and pushes back the single ez plane a boundary node
-  deposits into the neighbor's domain (ghost accumulation).
-- **Overlap.** All ``8·nu`` color steps live inside one compiled
-  shard_map region, so XLA schedules the collective-permutes
-  asynchronously against the independent interior arithmetic (the
-  batched LDLᵀ solves don't depend on the pushed-back ez plane).
-- The per-node 6×6 factorizations are model-dependent only: factored
-  once per call on the haloed parameter slabs (each shard factors
-  exactly its owned nodes), reused across all colors and sweeps.
+  haloed slab, and pushes back the single plane a boundary node
+  deposits into the neighbor's domain (ghost accumulation).  On the
+  2-D mesh the z halos are exchanged first and the y halos are taken
+  from the z-extended slabs, so corner values ride along without a
+  dedicated diagonal exchange.
+- **Overlap.** All color steps live inside one compiled shard_map
+  region, so XLA schedules the collective-permutes asynchronously
+  against the independent interior arithmetic (the batched LDLᵀ /
+  block-Thomas solves don't depend on the pushed-back ghost plane).
+- The per-node 6×6 factorizations (point) and per-line block-Thomas
+  factorizations (lines) are model-dependent only: factored once per
+  call on the haloed parameter slabs (each shard factors exactly its
+  owned nodes/lines), reused across all colors and sweeps.
 
-Numerics are bit-comparable to :func:`ops.smoothers.gauss_seidel_point`
-(same masks, same update order); tests assert 1e-12 relative parity on
-the 8-device CPU mesh.
+Line relaxation solves lines along an UNSHARDED axis (the Thomas
+recurrence stays shard-local; lines couple only through the residual):
+x-lines on any supported mesh, y-lines on a ``('z',)`` mesh and
+z-lines on a ``('y',)`` mesh via the exact cyclic axis rotation of
+:func:`emg3d_tpu.ops.smoothers.line_relaxation`.  Lines along a
+sharded axis would need a distributed tridiagonal solve and fall back
+to the GSPMD path.
 
-Reference parity: emg3d/core.py:181-474 (gauss_seidel); SURVEY §2.6
-item 1 (domain decomposition + halo exchange).
+Numerics are bit-comparable to the single-device smoothers (same
+masks, same update order); tests assert 1e-12 relative parity on the
+8-device CPU mesh.
+
+Reference parity: emg3d/core.py:181-474 (gauss_seidel) and
+core.py:477-1316 (gauss_seidel_x/y/z); SURVEY §2.6 item 1 (domain
+decomposition + halo exchange).
 """
 import functools
 
@@ -40,160 +56,490 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from .. import cx
-from ..ops import stencil
-from ..ops.blocksolve import ldl_factor_sparse, ldl_solve_factored
+from ..ops import stencil, smoothers
+from ..ops.blocksolve import (ldl_factor_sparse, ldl_solve_factored,
+                              block_tridiag_factor,
+                              block_tridiag_solve_factored)
 from ..ops.coeffs import node_coefficients, node_block_entries
 
-__all__ = ['gauss_seidel_point_shmap', 'supported_mesh']
+__all__ = ['gauss_seidel_point_shmap', 'line_relaxation_shmap',
+           'supported_mesh', 'supported_line']
+
+_VALID_AXES = (('y',), ('z',), ('y', 'z'))
+
+
+def _mesh_sizes(mesh):
+    return dict(zip(mesh.axis_names, mesh.devices.shape))
+
+
+def _enough_planes(shape, sizes):
+    """Each sharded axis needs ≥2 node planes per shard."""
+    ok = True
+    if 'y' in sizes:
+        ok &= (shape[1] + 1) >= 2 * sizes['y']
+    if 'z' in sizes:
+        ok &= (shape[2] + 1) >= 2 * sizes['z']
+    return ok
 
 
 def supported_mesh(mesh, shape):
-    """Explicit pipeline handles 1-D z meshes with ≥2 planes/shard."""
-    if mesh is None or tuple(mesh.axis_names) != ('z',):
+    """Explicit point pipeline: ('y',), ('z',) or ('y','z') meshes."""
+    if mesh is None or tuple(mesh.axis_names) not in _VALID_AXES:
         return False
-    ndev = int(np.prod(mesh.devices.shape))
-    return (shape[2] + 1) >= 2 * ndev
+    return _enough_planes(shape, _mesh_sizes(mesh))
 
+
+def supported_line(mesh, shape, axis):
+    """Explicit line pipeline: the line axis must be unsharded.
+
+    axis 0 works on every supported mesh; axis 1 (y-lines) only on a
+    ('z',) mesh; axis 2 (z-lines) only on a ('y',) mesh.
+    """
+    if mesh is None or tuple(mesh.axis_names) not in _VALID_AXES:
+        return False
+    sizes = _mesh_sizes(mesh)
+    if axis == 1 and 'y' in sizes:
+        return False
+    if axis == 2 and 'z' in sizes:
+        return False
+    return _enough_planes(shape, sizes)
+
+
+# ----------------------------------------------------------------------
+# Layout helpers (host side)
+# ----------------------------------------------------------------------
 
 def _tmap(f, *t):
     return jax.tree_util.tree_map(f, *t)
 
 
-def _padz(a, z):
-    """Zero-pad the trailing (z) axis to length ``z``."""
+def _pad_axis(a, ax, n):
+    """Zero-pad axis ``ax`` to length ``n``."""
     def one(x):
-        w = [(0, 0)] * (x.ndim - 1) + [(0, z - x.shape[-1])]
+        w = [(0, 0)] * x.ndim
+        w[ax] = (0, n - x.shape[ax])
         return jnp.pad(x, w)
     return _tmap(one, a)
 
 
-def _cropz(a, z):
-    return _tmap(lambda x: x[..., :z], a)
+def _crop_axis(a, ax, n):
+    def one(x):
+        sl = [slice(None)] * x.ndim
+        sl[ax] = slice(0, n)
+        return x[tuple(sl)]
+    return _tmap(one, a)
 
+
+# ----------------------------------------------------------------------
+# In-body halo helpers (run inside shard_map)
+# ----------------------------------------------------------------------
+
+def _perms(ndev, up):
+    if up:                              # send towards shard d+1
+        return [(i, i + 1) for i in range(ndev - 1)]
+    return [(i + 1, i) for i in range(ndev - 1)]
+
+
+def _edge(x, ax, last):
+    sl = [slice(None)] * x.ndim
+    sl[ax] = slice(-1, None) if last else slice(0, 1)
+    return x[tuple(sl)]
+
+
+def _lo_halo(a, ax, name, ndev):
+    """Neighbor d−1's last plane along ``ax`` (zeros at the edge)."""
+    return _tmap(lambda x: lax.ppermute(_edge(x, ax, True), name,
+                                        _perms(ndev, True)), a)
+
+
+def _hi_halo(a, ax, name, ndev):
+    """Neighbor d+1's first plane along ``ax``."""
+    return _tmap(lambda x: lax.ppermute(_edge(x, ax, False), name,
+                                        _perms(ndev, False)), a)
+
+
+def _cat(parts, ax):
+    if any(isinstance(p, cx.C2) for p in parts):
+        return cx.concatenate(parts, axis=ax)
+    return jnp.concatenate(parts, axis=ax)
+
+
+def _zplane(a, ax):
+    return _tmap(lambda x: jnp.zeros_like(_edge(x, ax, False)), a)
+
+
+class _Halo:
+    """Halo-extension operators for one shard of a (yname, zname) mesh.
+
+    ``yname``/``zname`` are the mesh axis names sharding local array
+    axes 1 and 2 (None = that grid axis is unsharded and the global
+    boundary planes play the halo role — the extension is a no-op).
+    The z exchange always runs before (inside) the y exchange so 2-D
+    corner values ride along on the z-extended slabs.
+    """
+
+    def __init__(self, yname, zname, ny_dev, nz_dev):
+        self.yname, self.zname = yname, zname
+        self.ny_dev, self.nz_dev = ny_dev, nz_dev
+
+    def _ext(self, a, ax, kind):
+        name = (self.yname, self.zname)[ax - 1]
+        ndev = (self.ny_dev, self.nz_dev)[ax - 1]
+        if name is None:
+            return a
+        if kind == 'node':              # lo + a + hi
+            return _cat([_lo_halo(a, ax, name, ndev), a,
+                         _hi_halo(a, ax, name, ndev)], ax)
+        if kind == 'cell':              # lo + a
+            return _cat([_lo_halo(a, ax, name, ndev), a], ax)
+        return _cat([_zplane(a, ax), a, _zplane(a, ax)], ax)  # zeros
+
+    def field(self, ex, ey, ez):
+        """Extend an E-field triple (per color step)."""
+        exh = self._ext(self._ext(ex, 2, 'node'), 1, 'node')
+        eyh = self._ext(self._ext(ey, 2, 'node'), 1, 'cell')
+        ezh = self._ext(self._ext(ez, 2, 'cell'), 1, 'node')
+        return exh, eyh, ezh
+
+    def source(self, sx, sy, sz):
+        """Extend the source triple (once per call; the residual reads
+        s only at owned nodes except the cell-direction component at
+        the lo halo cell — that one plane must be the true value)."""
+        sxh = self._ext(self._ext(sx, 2, 'zero'), 1, 'zero')
+        syh = self._ext(self._ext(sy, 2, 'zero'), 1, 'cell')
+        szh = self._ext(self._ext(sz, 2, 'cell'), 1, 'zero')
+        return sxh, syh, szh
+
+    def params(self, eta_x, eta_y, eta_z, zeta, hx, hy, hz):
+        """Extend model parameters (cell-registered on every axis)."""
+        par = tuple(self._ext(self._ext(a, 2, 'cell'), 1, 'cell')
+                    for a in (eta_x, eta_y, eta_z, zeta))
+        if self.yname is not None:
+            hy = jnp.concatenate([lax.ppermute(
+                hy[-1:], self.yname, _perms(self.ny_dev, True)), hy])
+        if self.zname is not None:
+            hz = jnp.concatenate([lax.ppermute(
+                hz[-1:], self.zname, _perms(self.nz_dev, True)), hz])
+        return (*par, hx, hy, hz)
+
+    def coords(self, shape, myn, mzn):
+        """Global (interior-x, owned-y, owned-z) node coordinates and
+        the in-bounds mask for the (nx−1, myn, mzn) block arrays."""
+        nx, ny, nz = shape
+        gy = lax.axis_index(self.yname) * myn + jnp.arange(myn) \
+            if self.yname else 1 + jnp.arange(myn)
+        gz = lax.axis_index(self.zname) * mzn + jnp.arange(mzn) \
+            if self.zname else 1 + jnp.arange(mzn)
+        gx = 1 + jnp.arange(nx - 1)
+        gx = gx[:, None, None]
+        gy = gy[None, :, None]
+        gz = gz[None, None, :]
+        inb = ((gy >= 1) & (gy <= ny - 1) & (gz >= 1) & (gz <= nz - 1))
+        return gx, gy, gz, inb
+
+
+def _station_residuals(rx, ry, rz):
+    """Block residuals at the six edges of every local node.
+
+    The slices are mode-independent: with halos, 1:-1 selects exactly
+    the owned planes; without, it selects the global interior.
+    """
+    return [rx[:-1, 1:-1, 1:-1], rx[1:, 1:-1, 1:-1],
+            ry[1:-1, :-1, 1:-1], ry[1:-1, 1:, 1:-1],
+            rz[1:-1, 1:-1, :-1], rz[1:-1, 1:-1, 1:]]
+
+
+# ----------------------------------------------------------------------
+# Point smoother
+# ----------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=('nu', 'shape', 'mesh'))
 def gauss_seidel_point_shmap(e, s, arrays, nu, shape, mesh):
-    """nu sweeps of 8-color node-block GS with explicit z halos.
+    """nu sweeps of 8-color node-block GS with explicit halos.
 
     Drop-in replacement of :func:`ops.smoothers.gauss_seidel_point`
-    for fields living on a 1-D ``('z',)`` device mesh.
+    for fields living on a ('y',), ('z',) or ('y','z') device mesh.
     """
     nx, ny, nz = shape
-    ndev = int(np.prod(mesh.devices.shape))
-    c = -(-(nz + 1) // ndev)
-    Z = ndev * c
+    sizes = _mesh_sizes(mesh)
+    yname = 'y' if 'y' in sizes else None
+    zname = 'z' if 'z' in sizes else None
+    ny_dev = sizes.get('y', 1)
+    nz_dev = sizes.get('z', 1)
+    cy = -(-(ny + 1) // ny_dev)
+    cz = -(-(nz + 1) // nz_dev)
 
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    body = functools.partial(
+        _point_body, nu=nu, shape=shape, yname=yname, zname=zname,
+        ny_dev=ny_dev, nz_dev=nz_dev, cy=cy, cz=cz)
 
-    body = functools.partial(_smoother_body, nu=nu, shape=shape,
-                             ndev=ndev, c=c)
-    spec3 = P(None, None, 'z')
+    spec3 = P(None, yname, zname)
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(spec3,) * 6 + (spec3,) * 4 + (P(None), P(None),
-                                                P('z')),
+        in_specs=(spec3,) * 10 + (P(None), P(yname), P(zname)),
         out_specs=(spec3, spec3, spec3))
 
-    args = [_padz(a, Z) for a in (*e, *s, eta_x, eta_y, eta_z, zeta)]
-    out = fn(*args, hx, hy, _padz(hz, Z))
-    return (_cropz(out[0], nz + 1), _cropz(out[1], nz + 1),
-            _cropz(out[2], nz))
+    def padyz(a):
+        if yname is not None:
+            a = _pad_axis(a, 1, ny_dev * cy)
+        if zname is not None:
+            a = _pad_axis(a, 2, nz_dev * cz)
+        return a
+
+    args = [padyz(a) for a in (*e, *s, eta_x, eta_y, eta_z, zeta)]
+    hy_p = _pad_axis(hy, 0, ny_dev * cy) if yname else hy
+    hz_p = _pad_axis(hz, 0, nz_dev * cz) if zname else hz
+    out = fn(*args, hx, hy_p, hz_p)
+
+    def crop(a, ylen, zlen):
+        if yname is not None:
+            a = _crop_axis(a, 1, ylen)
+        if zname is not None:
+            a = _crop_axis(a, 2, zlen)
+        return a
+
+    return (crop(out[0], ny + 1, nz + 1), crop(out[1], ny, nz + 1),
+            crop(out[2], ny + 1, nz))
 
 
-def _smoother_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
-                   hx, hy, hz, *, nu, shape, ndev, c):
+def _point_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+                hx, hy, hz, *, nu, shape, yname, zname, ny_dev, nz_dev,
+                cy, cz):
     """Per-shard body: haloed color updates (runs inside shard_map)."""
     nx, ny, nz = shape
-    d = lax.axis_index('z')
-    z0 = d * c                     # global node index of local kk=0
+    halo = _Halo(yname, zname, ny_dev, nz_dev)
 
-    up = [(i, i + 1) for i in range(ndev - 1)]    # send towards d+1
-    dn = [(i + 1, i) for i in range(ndev - 1)]    # send towards d-1
-
-    def lo_halo(a):
-        """Neighbor d-1's last plane (zeros at the global boundary)."""
-        return _tmap(lambda x: lax.ppermute(x[..., -1:], 'z', up), a)
-
-    def hi_halo(a):
-        """Neighbor d+1's first plane."""
-        return _tmap(lambda x: lax.ppermute(x[..., :1], 'z', dn), a)
-
-    def catz(*parts):
-        return cx.concatenate(parts, axis=-1) \
-            if any(isinstance(p, cx.C2) for p in parts) \
-            else jnp.concatenate(parts, axis=-1)
-
-    # --- once per call: haloed model parameters + local factors.
-    # Cell-registered arrays need the lo halo only (cells d·c−1 …
-    # d·c+c−1 are adjacent to the owned nodes).
-    par_h = tuple(catz(lo_halo(a), a)
-                  for a in (eta_x, eta_y, eta_z, zeta))
-    hz_h = jnp.concatenate([lax.ppermute(hz[-1:], 'z', up), hz])
-    par_h = (*par_h, hx, hy, hz_h)
+    # --- once per call: haloed parameters + local factors + source.
+    par_h = halo.params(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
     fact = ldl_factor_sparse(6, node_block_entries(
         node_coefficients(*par_h)))
+    sh = halo.source(sx, sy, sz)
 
-    # sx/sy are read at owned node planes only (the rb slices drop the
-    # halo planes), so zero-filled halos suffice; sz IS read at the lo
-    # halo cell (rb[4] at the first owned node) — exchange it once per
-    # call (s is constant across colors and sweeps).
-    def zplane(a):
-        return _tmap(lambda x: jnp.zeros_like(x[..., :1]), a)
+    myn = cy if yname else ny - 1       # local block-node extents
+    mzn = cz if zname else nz - 1
+    gx, gy, gz, inb = halo.coords(shape, myn, mzn)
 
-    sxh = catz(zplane(sx), sx, zplane(sx))
-    syh = catz(zplane(sy), sy, zplane(sy))
-    szh = catz(lo_halo(sz), sz)
-
-    # Global-coordinate masks (x/y global; z via the shard offset).
-    gz = z0 + jnp.arange(c)[None, None, :]
-    ii = jnp.arange(nx - 1)[:, None, None]
-    jj = jnp.arange(ny - 1)[None, :, None]
-    inb = (gz >= 1) & (gz <= nz - 1)
+    ysl = slice(None) if yname else slice(1, -1)   # own-layout node sel
+    zsl = slice(None) if zname else slice(1, -1)
 
     def color_step(e_, color):
-        ex_, ey_, ez_ = e_
-        exh = catz(lo_halo(ex_), ex_, hi_halo(ex_))
-        eyh = catz(lo_halo(ey_), ey_, hi_halo(ey_))
-        ezh = catz(lo_halo(ez_), ez_)
-
-        rx, ry, rz = stencil.residual_parts(sxh, syh, szh,
-                                            exh, eyh, ezh, *par_h)
-        rb = [rx[:-1, 1:-1, 1:-1], rx[1:, 1:-1, 1:-1],
-              ry[1:-1, :-1, 1:-1], ry[1:-1, 1:, 1:-1],
-              rz[1:-1, 1:-1, :-1], rz[1:-1, 1:-1, 1:]]
-        delta = ldl_solve_factored(6, fact[0], fact[1], rb)
+        exh, eyh, ezh = halo.field(*e_)
+        rx, ry, rz = stencil.residual_parts(*sh, exh, eyh, ezh, *par_h)
+        delta = ldl_solve_factored(6, fact[0], fact[1],
+                                   _station_residuals(rx, ry, rz))
 
         px = color % 2
         py = (color // 2) % 2
         pz = color // 4
-        mask = ((((ii + 1) % 2) == px) & (((jj + 1) % 2) == py) &
-                ((gz % 2) == pz) & inb)
+        mask = ((gx % 2 == px) & (gy % 2 == py) & (gz % 2 == pz) & inb)
         dm = [cx.where(mask, dv, 0) for dv in delta]
 
-        exh = exh.at[:, 1:-1, 1:-1].add(
+        # ex: node i deposits into x-edges i−1 (dm[0]) and i (dm[1]).
+        ex_n = e_[0].at[:, ysl, zsl].add(
             cx.pad(dm[0], ((0, 1), (0, 0), (0, 0))) +
             cx.pad(dm[1], ((1, 0), (0, 0), (0, 0))))
-        eyh = eyh.at[1:-1, :, 1:-1].add(
-            cx.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
-            cx.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
-        # Local ez planes ll ↔ global cells z0+ll: node kk deposits
-        # into cells z0+kk−1 (dm[4], local ll=kk−1) and z0+kk (dm[5],
-        # local ll=kk) — dm[4][0] falls into the neighbor's domain.
-        ez_new = ez_.at[1:-1, 1:-1, :].add(
-            cx.pad(dm[4][..., 1:], ((0, 0), (0, 0), (0, 1))) + dm[5])
 
-        # Ghost accumulation: the first owned node's update deposits
-        # into cell z0−1, owned by shard d−1 as its LAST local plane —
-        # ship exactly that deposit (dm[4] at local cell 0) downwards.
-        dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), ez_) \
-            .at[1:-1, 1:-1, :].add(dm[4][..., :1])
-        rem = _tmap(lambda x: lax.ppermute(x, 'z', dn), dep)
-        ez_new = ez_new.at[..., -1:].add(rem)
-        return (exh[..., 1:-1], eyh[..., 1:-1], ez_new), None
+        # ey: node j deposits into y-cells j−1 (dm[2]) and j (dm[3]).
+        if yname is None:
+            ey_n = e_[1].at[1:-1, :, zsl].add(
+                cx.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
+                cx.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
+        else:
+            ey_n = e_[1].at[1:-1, :, zsl].add(
+                cx.pad(dm[2][:, 1:], ((0, 0), (0, 1), (0, 0))) + dm[3])
+            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), e_[1]) \
+                .at[1:-1, :, zsl].add(dm[2][:, :1])
+            rem = _tmap(lambda x: lax.ppermute(
+                x, yname, _perms(ny_dev, False)), dep)
+            ey_n = ey_n.at[:, -1:, :].add(rem)
+
+        # ez: node k deposits into z-cells k−1 (dm[4]) and k (dm[5]).
+        if zname is None:
+            ez_n = e_[2].at[1:-1, ysl, :].add(
+                cx.pad(dm[4], ((0, 0), (0, 0), (0, 1))) +
+                cx.pad(dm[5], ((0, 0), (0, 0), (1, 0))))
+        else:
+            ez_n = e_[2].at[1:-1, ysl, :].add(
+                cx.pad(dm[4][..., 1:], ((0, 0), (0, 0), (0, 1))) + dm[5])
+            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), e_[2]) \
+                .at[1:-1, ysl, :].add(dm[4][..., :1])
+            rem = _tmap(lambda x: lax.ppermute(
+                x, zname, _perms(nz_dev, False)), dep)
+            ez_n = ez_n.at[..., -1:].add(rem)
+        return (ex_n, ey_n, ez_n), None
 
     seq = []
     for it in range(nu):
         seq.extend(range(8) if it % 2 == 0 else range(7, -1, -1))
     e_out, _ = lax.scan(color_step, (ex, ey, ez),
                         jnp.asarray(np.array(seq, np.int32)))
+    return e_out
+
+
+# ----------------------------------------------------------------------
+# Line relaxation (x-lines; y/z via cyclic rotation of the frame)
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=('nu', 'shape', 'mesh', 'axis'))
+def line_relaxation_shmap(e, s, arrays, nu, shape, mesh, axis=0):
+    """nu sweeps of 4-color line relaxation along ``axis`` with
+    explicit halos on the transverse (sharded) axes.
+
+    Drop-in replacement of :func:`ops.smoothers.line_relaxation` for
+    fields on a device mesh; ``supported_line`` gates the legal
+    (mesh, axis) combinations (the line axis must be unsharded).
+    """
+    ex, ey, ez = e
+    sx, sy, sz = s
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    rf, rb = smoothers._rot_fwd, smoothers._rot_bwd
+    if axis == 0:
+        return _line_x_shmap(e, s, arrays, nu, shape, mesh,
+                             'y' if 'y' in mesh.axis_names else None,
+                             'z' if 'z' in mesh.axis_names else None)
+    if axis == 1:
+        # Rotated frame (y,z,x): local axis 1 = grid z (mesh 'z').
+        out = _line_x_shmap(
+            (rf(ey), rf(ez), rf(ex)), (rf(sy), rf(sz), rf(sx)),
+            (rf(eta_y), rf(eta_z), rf(eta_x), rf(zeta), hy, hz, hx),
+            nu, (shape[1], shape[2], shape[0]), mesh, 'z', None)
+        return (rb(out[2]), rb(out[0]), rb(out[1]))
+    if axis == 2:
+        # Rotated frame (z,x,y): local axis 2 = grid y (mesh 'y').
+        out = _line_x_shmap(
+            (rb(ez), rb(ex), rb(ey)), (rb(sz), rb(sx), rb(sy)),
+            (rb(eta_z), rb(eta_x), rb(eta_y), rb(zeta), hz, hx, hy),
+            nu, (shape[2], shape[0], shape[1]), mesh, None, 'y')
+        return (rf(out[1]), rf(out[2]), rf(out[0]))
+    raise ValueError(f"axis must be 0, 1, or 2; got {axis}.")
+
+
+def _line_x_shmap(e, s, arrays, nu, shape, mesh, yname, zname):
+    """x-line relaxation over a mesh sharding local axes 1/2."""
+    nx, ny, nz = shape
+    sizes = _mesh_sizes(mesh)
+    ny_dev = sizes.get(yname, 1) if yname else 1
+    nz_dev = sizes.get(zname, 1) if zname else 1
+    cy = -(-(ny + 1) // ny_dev)
+    cz = -(-(nz + 1) // nz_dev)
+
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    body = functools.partial(
+        _line_body, nu=nu, shape=shape, yname=yname, zname=zname,
+        ny_dev=ny_dev, nz_dev=nz_dev, cy=cy, cz=cz)
+
+    spec3 = P(None, yname, zname)
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(spec3,) * 10 + (P(None), P(yname), P(zname)),
+        out_specs=(spec3, spec3, spec3))
+
+    def padyz(a):
+        if yname is not None:
+            a = _pad_axis(a, 1, ny_dev * cy)
+        if zname is not None:
+            a = _pad_axis(a, 2, nz_dev * cz)
+        return a
+
+    args = [padyz(a) for a in (*e, *s, eta_x, eta_y, eta_z, zeta)]
+    hy_p = _pad_axis(hy, 0, ny_dev * cy) if yname else hy
+    hz_p = _pad_axis(hz, 0, nz_dev * cz) if zname else hz
+    out = fn(*args, hx, hy_p, hz_p)
+
+    def crop(a, ylen, zlen):
+        if yname is not None:
+            a = _crop_axis(a, 1, ylen)
+        if zname is not None:
+            a = _crop_axis(a, 2, zlen)
+        return a
+
+    return (crop(out[0], ny + 1, nz + 1), crop(out[1], ny, nz + 1),
+            crop(out[2], ny + 1, nz))
+
+
+def _line_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
+               hx, hy, hz, *, nu, shape, yname, zname, ny_dev, nz_dev,
+               cy, cz):
+    """Per-shard body: 4-color x-line block-Thomas updates.
+
+    Every local line is solved each color step and the inactive colors
+    masked out afterwards (lines are independent in the Thomas solve,
+    so the extra solves are redundant work, not wrong answers) — this
+    keeps the kernel free of per-shard parity bookkeeping; the Pallas
+    path owns the single-device efficiency story.
+    """
+    nx, ny, nz = shape
+    halo = _Halo(yname, zname, ny_dev, nz_dev)
+
+    # --- once per call: haloed params, station blocks, Thomas factors.
+    par_h = halo.params(eta_x, eta_y, eta_z, zeta, hx, hy, hz)
+    c = node_coefficients(*par_h)
+    D, B = smoothers._line_blocks_x(c, ex, nx)
+    facts = block_tridiag_factor(D, B)
+    sh = halo.source(sx, sy, sz)
+
+    myn = cy if yname else ny - 1
+    mzn = cz if zname else nz - 1
+    _, gy, gz, inb = halo.coords(shape, myn, mzn)
+
+    ysl = slice(None) if yname else slice(1, -1)
+    zsl = slice(None) if zname else slice(1, -1)
+    padx = ((0, 1), (0, 0), (0, 0), (0, 0))
+
+    def color_step(e_, sc):
+        it, cidx = sc
+        color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
+        cyp = color % 2
+        czp = color // 2
+
+        exh, eyh, ezh = halo.field(*e_)
+        rx, ry, rz = stencil.residual_parts(*sh, exh, eyh, ezh, *par_h)
+        r = cx.stack([
+            rx[:, 1:-1, 1:-1],
+            cx.pad(ry[1:-1, :-1, 1:-1], padx[:3]),
+            cx.pad(ry[1:-1, 1:, 1:-1], padx[:3]),
+            cx.pad(rz[1:-1, 1:-1, :-1], padx[:3]),
+            cx.pad(rz[1:-1, 1:-1, 1:], padx[:3]),
+        ], axis=-1)
+        delta = block_tridiag_solve_factored(*facts, B, r)
+
+        mask = (((gy - 1) % 2 == cyp) & ((gz - 1) % 2 == czp) & inb)
+        dm = cx.where(mask[..., None], delta, 0)
+
+        ex_n = e_[0].at[:, ysl, zsl].add(dm[..., 0])
+
+        if yname is None:
+            ey_n = e_[1].at[1:-1, :, zsl].add(
+                cx.pad(dm[:-1, ..., 1], ((0, 0), (0, 1), (0, 0))) +
+                cx.pad(dm[:-1, ..., 2], ((0, 0), (1, 0), (0, 0))))
+        else:
+            ey_n = e_[1].at[1:-1, :, zsl].add(
+                cx.pad(dm[:-1, 1:, :, 1], ((0, 0), (0, 1), (0, 0))) +
+                dm[:-1, ..., 2])
+            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), e_[1]) \
+                .at[1:-1, :, zsl].add(dm[:-1, :1, :, 1])
+            rem = _tmap(lambda x: lax.ppermute(
+                x, yname, _perms(ny_dev, False)), dep)
+            ey_n = ey_n.at[:, -1:, :].add(rem)
+
+        if zname is None:
+            ez_n = e_[2].at[1:-1, ysl, :].add(
+                cx.pad(dm[:-1, ..., 3], ((0, 0), (0, 0), (0, 1))) +
+                cx.pad(dm[:-1, ..., 4], ((0, 0), (0, 0), (1, 0))))
+        else:
+            ez_n = e_[2].at[1:-1, ysl, :].add(
+                cx.pad(dm[:-1, :, 1:, 3], ((0, 0), (0, 0), (0, 1))) +
+                dm[:-1, ..., 4])
+            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), e_[2]) \
+                .at[1:-1, ysl, :].add(dm[:-1, :, :1, 3])
+            rem = _tmap(lambda x: lax.ppermute(
+                x, zname, _perms(nz_dev, False)), dep)
+            ez_n = ez_n.at[..., -1:].add(rem)
+        return (ex_n, ey_n, ez_n), None
+
+    its = jnp.repeat(jnp.arange(nu), 4)
+    cols = jnp.tile(jnp.arange(4), nu)
+    e_out, _ = lax.scan(color_step, (ex, ey, ez), (its, cols))
     return e_out

@@ -31,7 +31,11 @@ class Simulation:
     survey : Survey
     grid : TensorMesh
     model : Model
-    max_workers : int  (accepted for API parity; solves run on-device)
+    max_workers : int
+        Host threads dispatching the solves that cannot device-batch
+        (each solve is an independent XLA computation; threads overlap
+        one solve's blocking fetches with another's device work).
+        Batchable groups ignore it — they advance in one program.
     gridding : str
         'same', 'single', 'frequency', 'source', 'both', 'input', 'dict'.
     gridding_opts, solver_opts : dict, optional
@@ -292,6 +296,19 @@ class Simulation:
         the on-device replacement of the reference's process pool.
         """
         self._compute_batched()
+        # Pairs the batched path could not group (gcrotmk, singleton
+        # groups, mismatched grids) are independent XLA computations:
+        # dispatch them from `max_workers` host threads so one solve's
+        # blocking norm fetches overlap another's device work — the
+        # async analog of the reference's process-pool fan-out
+        # (reference simulations.py:862-867).
+        pending = [(s, f) for s, f in self._srcfreq
+                   if self._dict_efield[s][float(f)] is None]
+        if len(pending) > 1 and int(self.max_workers) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            nw = min(int(self.max_workers), len(pending))
+            with ThreadPoolExecutor(nw) as pool:
+                list(pool.map(lambda sf: self.get_efield(*sf), pending))
         for src, freq in self._srcfreq:
             self.get_efield(src, freq)
 
@@ -326,13 +343,13 @@ class Simulation:
         Fills ``_dict_efield`` for groups of >=2 uncomputed (source,
         frequency) pairs on the same (grid, model): mixed frequencies
         batch too (the solver stacks η per lane; SURVEY §2.6 item 2).
-        Plain multigrid and bicgstab both batch; other Krylov variants
-        fall back to per-pair solves.
+        Plain multigrid, bicgstab and cgs all batch; gcrotmk falls
+        back to per-pair solves.
         """
         ssl = self.solver_opts.get('sslsolver', True)
         if ssl is True:
             ssl = 'bicgstab'
-        if ssl not in (False, 'bicgstab'):
+        if ssl not in (False, 'bicgstab', 'cgs'):
             return
 
         from .solver import solve_batched
@@ -423,7 +440,7 @@ class Simulation:
         ssl = self.solver_opts.get('sslsolver', True)
         if ssl is True:
             ssl = 'bicgstab'
-        if ssl not in (False, 'bicgstab'):
+        if ssl not in (False, 'bicgstab', 'cgs'):
             return
 
         from .solver import solve_batched

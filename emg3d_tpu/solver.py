@@ -460,8 +460,10 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
     streamed factors (the factors are model-dependent only, so the
     host computes them once per (level, axis) per solve).
 
-    ``mesh`` routes point smoothing through the explicit shard_map
-    halo pipeline when the level is distributed over a 1-D z mesh.
+    ``mesh`` routes point smoothing — and line relaxation along
+    unsharded axes — through the explicit shard_map halo pipeline
+    (parallel/shmap.py) when the level is distributed over a ('y',),
+    ('z',) or ('y', 'z') device mesh.
     """
     if nu <= 0:
         return e
@@ -480,6 +482,13 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
                 params=pparams)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
+        if mesh is not None:
+            from .parallel import shmap
+            if shmap.supported_line(mesh, shape, ax):
+                e = shmap.line_relaxation_shmap(
+                    tuple(e), tuple(s), tuple(arrays), nu=nu,
+                    shape=shape, mesh=mesh, axis=ax)
+                continue
         ent = fstacks[ax] if (pallas_ok and fstacks is not None) \
             else None
         if ent is not None:
@@ -1089,6 +1098,84 @@ def _ds_accumulate(ehi, elo, delta):
     return tuple(out_hi), tuple(out_lo)
 
 
+# Warm-latency knobs of the single-solve Krylov refinement (see
+# _refine_krylov; hardware-tuned at 32³, scripts/hw_warm32.py): the
+# pass-0 tolerance loosening and how many 1-cycle shortcut
+# applications to try before paying a full Krylov pass.
+_REFINE_INNER_SCALE = 4.0
+_REFINE_SHORTCUT_TRIES = 4
+
+
+def _refine_krylov(residual_fn, norm_fn, precond, inner, xhi, xlo,
+                   atol, maxit, inner_scale=1.0, shortcut_tries=1):
+    """Two-float iterative refinement around a Krylov inner solve.
+
+    Shared by the single and the batched sslsolver paths: the Krylov
+    RECURSIVE residual converges below tol, but with f32 solution
+    storage the TRUE residual floors at a few e-6 (measured 4.3e-6 at
+    32³) — so the solution accumulates as a two-float (hi, lo) pair,
+    each pass solves the correction system for the double-single-
+    evaluated true residual, and convergence is judged on THAT.
+
+    ``norm_fn``/``atol`` may be scalars (single solve) or per-lane
+    vectors (batched); termination is all-lanes.  ``inner(r0, x0,
+    scale)`` runs one Krylov solve of the correction system with its
+    tolerance loosened by ``scale`` and returns ``(dx, info)``.
+    Returns ``(xhi, xlo, rn_true, info)``.
+
+    ``inner_scale`` > 1 loosens the FIRST pass only: the Krylov loop
+    then stops up to one half-iteration (= one preconditioner
+    application) earlier when it lands within scale×tol, and the much
+    cheaper refinement shortcut (one preconditioner application
+    reduces the residual ~10-1000×) closes the gap; if it cannot, the
+    next pass runs at the true tolerance — lost work is bounded by
+    one residual evaluation.
+    """
+    info = 0
+    rn_true = None
+    for _pass in range(4):
+        r0 = residual_fn(xhi, xlo)
+        rn_true = norm_fn(r0)
+        if np.all(rn_true <= atol):
+            # The double-single true residual is the arbiter: a
+            # converged solution clears any stale inner-pass code
+            # (e.g. a near-convergence breakdown).
+            info = 0
+            break
+        if info != 0 or _pass == 3:
+            if info == 0:
+                info = maxit
+            break
+        if _pass >= 1:
+            # Refinement passes start within a few × tol of
+            # convergence (the pass-0 recursive residual met its
+            # loosened tol; only the f32 storage floor and the
+            # loosening remain), so a few cheap preconditioner
+            # applications usually close the gap — try up to
+            # ``shortcut_tries`` of them, each ~1/4 the cost of a
+            # full Krylov iteration (2 preconditioner applications
+            # plus the lagged speculative iterate).
+            done = False
+            for _try in range(shortcut_tries):
+                dx0 = precond(r0)
+                xh2, xl2 = _ds_accumulate(xhi, xlo, dx0)
+                r2 = residual_fn(xh2, xl2)
+                rn2 = norm_fn(r2)
+                if not np.all(rn2 <= rn_true):
+                    break
+                xhi, xlo, r0, rn_true = xh2, xl2, r2, rn2
+                if np.all(rn2 <= atol):
+                    info = 0
+                    done = True
+                    break
+            if done:
+                break
+        zero = tuple(cx.zeros_like(c) for c in xhi)
+        dx, info = inner(r0, zero, inner_scale if _pass == 0 else 1.0)
+        xhi, xlo = _ds_accumulate(xhi, xlo, dx)
+    return xhi, xlo, rn_true, info
+
+
 def _ds_wanted(e, var):
     """Two-float accumulation applies: f32 storage and a tol below the
     single-float solution-representation floor (~2e-6 relative)."""
@@ -1118,6 +1205,12 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     fine = ctx.levels(int(var.sc_dir))[0]
     l2_last = residual_norm(e, s, fine.arrays)
     l2_stag = np.ones(var._maxcycle) * l2_last
+    # As a Krylov PRECONDITIONER the rhs is an (often unit-normalized)
+    # basis vector, not the source: convergence/divergence must be
+    # judged against THIS call's rhs norm, or a small-norm source
+    # makes the very first check read as "diverged" (l2 ≈ ‖basis‖ = 1
+    # > 10·‖s‖) and spuriously aborts the outer solver (gcrotmk).
+    refe = var.l2_refe if standalone else l2_last
 
     dbg = var if var.verb > 4 else None
     if dbg is not None:
@@ -1194,7 +1287,7 @@ def multigrid(ctx, var, e=None, s=None, track=True):
             _print_cycle_info(var, l2_last, l2_prev)
 
         if _terminate(var, l2_last, l2_stag[(it - 1) % var._maxcycle],
-                      it):
+                      it, refe=refe):
             # Any further in-flight cycle is simply discarded; var.it
             # only ever counted checked cycles.
             result = e_i
@@ -1290,15 +1383,21 @@ def _print_cycle_info(var, l2_last, l2_prev):
     var.cprint(info, 3)
 
 
-def _terminate(var, l2_last, l2_stag, it):
-    """Termination criteria (reference parity: solver.py:1682-1744)."""
+def _terminate(var, l2_last, l2_stag, it, refe=None):
+    """Termination criteria (reference parity: solver.py:1682-1744).
+
+    ``refe`` overrides the reference norm (preconditioner calls judge
+    against their own rhs norm, see :func:`multigrid`).
+    """
+    if refe is None:
+        refe = var.l2_refe
     finished = False
     sslabort = False
 
-    if l2_last < var.tol * var.l2_refe:
+    if l2_last < var.tol * refe:
         var.exit_message = "CONVERGED"
         finished = True
-    elif l2_last > 10 * var.l2_refe or not np.isfinite(l2_last):
+    elif l2_last > 10 * refe or not np.isfinite(l2_last):
         var.exit_message = "DIVERGED"
         finished = True
         sslabort = True
@@ -1390,13 +1489,8 @@ def krylov(ctx, var):
             # residual magnitudes in the diagnostics) above the f32
             # underflow threshold — same fix as the batched path.
             #
-            # Iterative refinement around the Krylov loop: BiCGSTAB's
-            # RECURSIVE residual converges below tol, but with f32
-            # solution storage the TRUE residual floors at a few e-6
-            # (measured 4.3e-6 at 32³) — so the solution accumulates
-            # as a two-float (hi, lo) pair, each pass solves the
-            # correction system for the double-single-evaluated true
-            # residual, and convergence is judged on THAT.
+            # Iterative refinement around the Krylov loop — see
+            # :func:`_refine_krylov` (shared with the batched path).
             sc = 1.0 / max(bnorm, 1e-300)
             from .ops.dsres import residual_ds
             s_n = tuple(c * sc for c in s)
@@ -1407,45 +1501,28 @@ def krylov(ctx, var):
             def precond_fast(r):
                 return _precond_fixed_cycles(ctx, var, r, batch=False)
 
-            inner = _bicgstab_device if var.sslsolver == 'bicgstab' \
+            def precond_short(r):
+                # Refinement shortcut: the gap left by a loosened
+                # pass-0 is a handful of ×tol — ONE MG cycle (~10×
+                # reduction) usually closes it at 1/maxit the cost of
+                # the full preconditioner schedule.
+                return _precond_fixed_cycles(ctx, var, r, batch=False,
+                                             cycles=1)
+
+            kernel = _bicgstab_device if var.sslsolver == 'bicgstab' \
                 else _cgs_device
-            info = 0
-            for _pass in range(4):
-                r0 = residual_ds(xhi, xlo, s_n, arrays)
-                rnorm_true = float(_norm(*r0))
-                if rnorm_true <= atol_n:
-                    # The double-single true residual is the arbiter:
-                    # a converged solution clears any stale inner-pass
-                    # code (e.g. a near-convergence breakdown).
-                    info = 0
-                    break
-                if info != 0 or _pass == 3:
-                    if info == 0:
-                        info = var.ssl_maxit
-                    break
-                if _pass >= 1:
-                    # Refinement passes start within a few × tol of
-                    # convergence (the pass-0 recursive residual met
-                    # tol; only the f32 storage floor remains), so one
-                    # preconditioner application usually closes the
-                    # gap — try it before paying a full Krylov
-                    # iteration (2 preconditioner applications plus
-                    # the lagged speculative iterate, ~1/3 of the warm
-                    # solve measured at 32³).
-                    dx0 = precond_fast(r0)
-                    xh2, xl2 = _ds_accumulate(xhi, xlo, dx0)
-                    r2 = residual_ds(xh2, xl2, s_n, arrays)
-                    rn2 = float(_norm(*r2))
-                    if rn2 < rnorm_true:
-                        xhi, xlo, r0, rnorm_true = xh2, xl2, r2, rn2
-                        if rn2 <= atol_n:
-                            info = 0
-                            break
-                zero = tuple(cx.zeros_like(c) for c in xhi)
-                dx, info = inner(
-                    matvec, precond_fast, r0, zero, atol_n,
-                    var.ssl_maxit, callback, l2scale=bnorm)
-                xhi, xlo = _ds_accumulate(xhi, xlo, dx)
+
+            def inner(r0, x0, scale=1.0):
+                return kernel(matvec, precond_fast, r0, x0,
+                              scale * atol_n, var.ssl_maxit, callback,
+                              l2scale=bnorm)
+
+            xhi, xlo, rnorm_true, info = _refine_krylov(
+                lambda h, l: residual_ds(h, l, s_n, arrays),
+                lambda r: float(_norm(*r)),
+                precond_short, inner, xhi, xlo, atol_n, var.ssl_maxit,
+                inner_scale=_REFINE_INNER_SCALE,
+                shortcut_tries=_REFINE_SHORTCUT_TRIES)
 
             x = tuple(c * bnorm for c in xhi)
             ctx.e_lo = tuple(c * bnorm for c in xlo)
@@ -1949,6 +2026,14 @@ def solve(grid, model, sfield, efield=None, cycle='F', sslsolver=False,
     ctx = _SolveContext(grid, vmodel, sfield, efield, var,
                         sharding=sharding)
 
+    # Tracing a fused Pallas kernel is recursion-heavy, and the first
+    # trace can happen deep inside a scipy Krylov call stack (gcrotmk
+    # -> fgmres -> precond -> MG -> smoothing dispatch): CPython's
+    # default 1000-frame limit then dies mid-trace (measured).  Raise
+    # it once, process-wide.
+    import sys as _sys
+    _sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
+
     import contextlib
     prof = jax.profiler.trace(profile) if profile \
         else contextlib.nullcontext()
@@ -2065,7 +2150,7 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     parameters are then stacked per batch lane (SURVEY §2.6 item 2)
     and the whole (source × frequency) group advances in one compiled
     program.  Semicoarsening and line relaxation are supported;
-    ``sslsolver`` supports 'bicgstab'.
+    ``sslsolver`` supports 'bicgstab' and 'cgs'.
 
     Termination: CONVERGED when every source's residual is below tol;
     DIVERGED if any diverges; otherwise the usual criteria on the
@@ -2138,9 +2223,9 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     refe = np.where(refe == 0, 1.0, refe)
 
     if var.sslsolver:
-        if var.sslsolver != 'bicgstab':
+        if var.sslsolver not in ('bicgstab', 'cgs'):
             raise NotImplementedError(
-                "Batched Krylov currently implements bicgstab only.")
+                "Batched Krylov implements bicgstab and cgs only.")
         fine = ctx.levels(int(var.sc_dir))[0]
 
         def matvec(ee):
@@ -2164,41 +2249,21 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         atol_np = np.full(len(sfields), float(var.tol))
         atol_b = jnp.full((len(sfields),), var.tol, dtype=rdt_)
 
-        # Two-float iterative refinement per lane (see krylov): the
-        # recursive residual converges below tol while plain f32
-        # solution storage floors the TRUE residual at a few e-6.
+        # Two-float iterative refinement per lane — see
+        # :func:`_refine_krylov` (shared with the single-solve path).
+        kernel_b = _bicgstab_batched if var.sslsolver == 'bicgstab' \
+            else _cgs_batched
+
+        def inner_b(r0, x0, scale=1.0):
+            return kernel_b(matvec, prec, r0, x0, scale * atol_b,
+                            var.ssl_maxit, on_iter)
+
         xhi = e
         xlo = tuple(cx.zeros_like(c) for c in e)
-        kinfo = 0
-        for _pass in range(4):
-            r0 = _ds_residual_b(xhi, xlo, s_n, fine.arrays)
-            rn_true = np.asarray(_norm_b(*r0))
-            if np.all(rn_true <= atol_np):
-                kinfo = 0
-                break
-            if kinfo != 0 or _pass == 3:
-                if kinfo == 0:
-                    kinfo = var.ssl_maxit
-                break
-            if _pass >= 1:
-                # Refinement passes start within a few × tol (only the
-                # f32 storage floor remains): one preconditioner
-                # application over all lanes usually closes the gap —
-                # cheaper than a full batched Krylov iteration.
-                dx0 = prec(r0)
-                xh2, xl2 = _ds_accumulate(xhi, xlo, dx0)
-                r2 = _ds_residual_b(xh2, xl2, s_n, fine.arrays)
-                rn2 = np.asarray(_norm_b(*r2))
-                if np.all(rn2 <= rn_true):
-                    xhi, xlo, r0, rn_true = xh2, xl2, r2, rn2
-                    if np.all(rn2 <= atol_np):
-                        kinfo = 0
-                        break
-            zero_b = tuple(cx.zeros_like(c) for c in e)
-            dx, kinfo = _bicgstab_batched(matvec, prec, r0, zero_b,
-                                          atol_b, var.ssl_maxit,
-                                          on_iter)
-            xhi, xlo = _ds_accumulate(xhi, xlo, dx)
+        xhi, xlo, rn_true, kinfo = _refine_krylov(
+            lambda h, l: _ds_residual_b(h, l, s_n, fine.arrays),
+            lambda r: np.asarray(_norm_b(*r)),
+            prec, inner_b, xhi, xlo, atol_np, var.ssl_maxit)
 
         us_ = jnp.asarray(refe, dtype=rdt_).reshape((-1, 1, 1, 1))
         l2_last = rn_true * refe
@@ -2207,7 +2272,7 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
         elif kinfo > 0:
             var.exit_message = 'MAX. ITERATION REACHED, NOT CONVERGED'
         else:
-            var.exit_message = f'Error in bicgstab ({kinfo})'
+            var.exit_message = f'Error in {var.sslsolver} ({kinfo})'
         var.cprint("\n   > " + var.exit_message, 2)
         out = []
         comps = [np.array(cx.tocomplex(c * us_)) for c in xhi]
@@ -2468,14 +2533,85 @@ def _bicgstab_batched(matvec, precond, b, x, atol_b, maxiter, on_iter):
     return x, info
 
 
-def _precond_fixed_cycles(ctx, var, r, batch):
-    """Preconditioner: exactly maxit MG cycles, no norm fetches.
+def _cgs_batched(matvec, precond, b, x, atol_b, maxiter, on_iter):
+    """Per-source CGS with (B,) device scalars and lane freezing.
 
-    (When MG preconditions a Krylov solver, maxit equals the length of
-    the sc/lr schedule — reference solver.py:1356-1364.)
+    The CGS analog of :func:`_bicgstab_batched` (same lane-freezing
+    protocol; recurrence of :func:`_cgs_device`).  With q = p = 0 and
+    rho_prev = 1 the first iteration needs no special case: beta
+    multiplies only zero vectors.
+    """
+    B = atol_b.shape[0]
+    ndim = 4
+
+    def fz(mask, new, old):
+        m = mask.reshape((-1,) + (1,) * (ndim - 1))
+        return tuple(cx.C2(jnp.where(m, nn.re, oo.re),
+                           jnp.where(m, nn.im, oo.im))
+                     if cx.is_c2(nn) else jnp.where(m, nn, oo)
+                     for nn, oo in zip(new, old))
+
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rtilde = r
+    ones = jnp.ones((B,))
+    rho_prev = cx.C2(ones, jnp.zeros((B,)))
+    q = tuple(cx.zeros_like(c) for c in r)
+    p = tuple(cx.zeros_like(c) for c in r)
+    active = jnp.ones((B,), bool)
+
+    info = maxiter
+    for it in range(maxiter):
+        rnorm = jnp.sqrt(_dot_b(r, r).re)
+        host_rnorm = np.asarray(rnorm)
+        host_active = np.asarray(active)
+        done = host_rnorm <= np.asarray(atol_b)
+        if np.all(done | ~host_active):
+            info = 0 if np.all(done) else -1
+            break
+        active = jnp.asarray(host_active & ~done)
+
+        rho = _dot_b(rtilde, r)
+        ok = (rho.re**2 + rho.im**2) > 0
+        active = active & ok
+
+        beta = _cdiv_guard(rho, rho_prev, active)
+        bb_ = _bcast_scal(beta, ndim)
+        u = tuple(rr + bb_ * qq for rr, qq in zip(r, q))
+        p_new = tuple(uu + bb_ * (qq + bb_ * pp)
+                      for uu, qq, pp in zip(u, q, p))
+        p = fz(active, p_new, p)
+
+        phat = precond(p)
+        vhat = matvec(phat)
+        denom = _dot_b(rtilde, vhat)
+        ok = (denom.re**2 + denom.im**2) > 0
+        active = active & ok
+        alpha = _cdiv_guard(rho, denom, active)
+        al_ = _bcast_scal(alpha, ndim)
+        q_new = tuple(uu - al_ * vv for uu, vv in zip(u, vhat))
+        q = fz(active, q_new, q)
+        uq = tuple(uu + qq for uu, qq in zip(u, q))
+
+        uqhat = precond(uq)
+        w = matvec(uqhat)
+        x_new = tuple(xx + al_ * uu for xx, uu in zip(x, uqhat))
+        x = fz(active, x_new, x)
+        r_new = tuple(rr - al_ * ww for rr, ww in zip(r, w))
+        r = fz(active, r_new, r)
+        rho_prev = rho
+        on_iter(it, x)
+
+    return x, info
+
+
+def _precond_fixed_cycles(ctx, var, r, batch, cycles=None):
+    """Preconditioner: exactly ``cycles`` MG cycles, no norm fetches.
+
+    (When MG preconditions a Krylov solver, the default maxit equals
+    the length of the sc/lr schedule — reference solver.py:1356-1364.)
     """
     e = tuple(cx.zeros_like(c) for c in r)
-    for _ in range(var.maxit):
+    for _ in range(var.maxit if cycles is None else cycles):
         conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
                 int(var.lr_dir))
         levels = ctx.levels(int(var.sc_dir))

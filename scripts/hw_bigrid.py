@@ -5,7 +5,7 @@ line relaxation with inline Pallas factors) on a fullspace and reports
 per-cycle time + convergence trajectory.  BASELINE config #5 class
 (reference RAM behavior: docs/cpu_and_ram.rst:87-119).
 
-Run (ambient TPU env):  python scripts/hw_bigrid.py [n] [lr]
+Run (ambient TPU env):  python scripts/hw_bigrid.py [n] [lr] [sc]
 """
 import sys
 import time
@@ -15,7 +15,7 @@ import numpy as np
 sys.path.insert(0, '/root/repo')
 
 
-def main(n=128, lr=False):
+def main(n=128, lr=False, sc=False):
     import jax.numpy as jnp
     from emg3d_tpu import TensorMesh, Model, SourceField, Field
     from emg3d_tpu import solver as S
@@ -29,11 +29,12 @@ def main(n=128, lr=False):
     vm = VolumeModel(grid, model, sfield)
     var = S.MGParameters(
         verb=1, cycle='F', sslsolver=False,
-        linerelaxation=bool(lr), semicoarsening=False,
+        linerelaxation=bool(lr), semicoarsening=bool(sc),
         shape_cells=tuple(grid.shape_cells), tol=1e-6)
     ctx = S._SolveContext(grid, vm, sfield,
                           Field.zeros(grid, frequency=1.0), var)
-    levels = ctx.levels(0)
+    sc_dir = int(var.sc_dir) if sc else 0
+    levels = ctx.levels(sc_dir)
     conf = (var.nu_pre, var.nu_coarse, var.nu_post, 'F',
             int(var.lr_dir))
     fstacks = S._level_fstacks(levels[0], conf[4]) if lr else None
@@ -42,8 +43,8 @@ def main(n=128, lr=False):
     else:
         ent = next(x for x in fstacks if x is not None)
         fmode = 'inline' if isinstance(ent[0], tuple) else 'cached'
-    print(f"n={n} lr={lr} levels={len(levels)} fstacks={fmode}",
-          flush=True)
+    print(f"n={n} lr={lr} sc={sc} levels={len(levels)} "
+          f"fstacks={fmode}", flush=True)
 
     e, s = ctx.e, ctx.s
     t0 = time.time()
@@ -64,4 +65,5 @@ def main(n=128, lr=False):
 if __name__ == '__main__':
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     lr = len(sys.argv) > 2 and sys.argv[2] not in ('0', 'false')
-    main(n, lr)
+    sc = len(sys.argv) > 3 and sys.argv[3] not in ('0', 'false')
+    main(n, lr, sc)

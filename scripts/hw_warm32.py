@@ -1,0 +1,59 @@
+"""Warm default-path solve latency at 32³ (VERDICT r2 weak #4).
+
+The reference default configuration (sslsolver='bicgstab' + sc + lr,
+tol=1e-6) end-to-end on TPU: first solve pays the remote compiles;
+the repeats measure the warm latency the Simulation user sees.
+Round-2 baseline: 3.2 s warm; round-3 target ≤ ~2.2 s.
+
+Run (ambient TPU env): python scripts/hw_warm32.py [n]
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, '/root/repo')
+
+
+def main(n=32):
+    from emg3d_tpu import TensorMesh, Model, SourceField, solve
+
+    grid = TensorMesh([np.full(n, 100.)] * 3)
+    rng = np.random.default_rng(11)
+    model = Model(grid, property_x=rng.uniform(0.3, 3.0,
+                                               grid.shape_cells),
+                  mapping='Resistivity')
+    sfield = SourceField.zeros(grid, frequency=1.0)
+    np.asarray(sfield.fx)[n//2, n//2, n//2] = 1.0
+
+    opts = dict(sslsolver=True, semicoarsening=True,
+                linerelaxation=True, tol=1e-6, verb=1,
+                return_info=True)
+
+    from emg3d_tpu import solver as S
+
+    t0 = time.time()
+    e, info = solve(grid, model, sfield, **opts)
+    print(f"cold: {time.time()-t0:.1f} s {info['exit_message']} "
+          f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
+          f"it_mg={info['it_mg']}", flush=True)
+
+    # Sweep the host-side refinement knobs (the jitted pieces are
+    # shared, so each variant runs warm).
+    for scale, tries in [(1.0, 1), (4.0, 4), (4.0, 2), (8.0, 4),
+                         (2.0, 2)]:
+        S._REFINE_INNER_SCALE = scale
+        S._REFINE_SHORTCUT_TRIES = tries
+        best = 1e30
+        for it in range(3):
+            t0 = time.time()
+            e, info = solve(grid, model, sfield, **opts)
+            best = min(best, time.time() - t0)
+        print(f"scale={scale} tries={tries}: best {best:.2f} s "
+              f"{info['exit_message']} rel={info['rel_error']:.2e} "
+              f"it_ssl={info['it_ssl']} it_mg={info['it_mg']}",
+              flush=True)
+
+
+if __name__ == '__main__':
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)

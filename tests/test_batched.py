@@ -45,8 +45,8 @@ def test_batched_with_sc_lr(problem):
 def test_batched_validation(problem):
     grid, model = problem
     s1 = get_source_field(grid, [300, 900, 700, 0, 0], 1.0)
-    with pytest.raises(NotImplementedError, match='bicgstab only'):
-        solve_batched(grid, model, [s1], sslsolver='cgs')
+    with pytest.raises(NotImplementedError, match='bicgstab and cgs'):
+        solve_batched(grid, model, [s1], sslsolver='gcrotmk')
     with pytest.raises(ValueError, match='at least one'):
         solve_batched(grid, model, [])
 
@@ -134,6 +134,24 @@ def test_batched_bicgstab_matches_single(problem):
         ei = _solve(grid, model, sfields[i], cycle='F',
                     sslsolver='bicgstab', semicoarsening=True,
                     linerelaxation=True, verb=1)
+        rel = (np.linalg.norm(es[i].field - ei.field) /
+               np.linalg.norm(ei.field))
+        assert rel < 1e-5
+
+
+def test_batched_cgs_matches_single(problem):
+    """Batched CGS (the second batched Krylov family) == per-source."""
+    grid, model = problem
+    sfields = [get_source_field(grid, [200 + 300*i, 800, 800, 0, 0],
+                                1.0) for i in range(3)]
+    es, info = solve_batched(grid, model, sfields, cycle='F',
+                             sslsolver='cgs', verb=1)
+    assert info['exit_message'] == 'CONVERGED'
+    assert np.all(info['rel_error'] < 1e-6)
+    from emg3d_tpu import solve as _solve
+    for i in (0, 2):
+        ei = _solve(grid, model, sfields[i], cycle='F',
+                    sslsolver='cgs', verb=1)
         rel = (np.linalg.norm(es[i].field - ei.field) /
                np.linalg.norm(ei.field))
         assert rel < 1e-5

@@ -88,6 +88,7 @@ def test_infeasible_shape_falls_back_to_xla(monkeypatch):
     e, s, par = _setup(shape)
 
     monkeypatch.setattr(pallas_gs, '_ENABLED', True)
+    monkeypatch.setattr(pallas_gs, '_mosaic_target', lambda: True)
     monkeypatch.setattr(pallas_gs, '_POINT_OK', {})
     monkeypatch.setattr(pallas_gs, '_TILE_OVERRIDE', {})
 

@@ -92,42 +92,140 @@ def test_distribute_field(problem):
     np.testing.assert_allclose(np.asarray(f.fz), np.asarray(sfield.fz))
 
 
-def test_shmap_smoother_matches_single(problem):
-    """Explicit shard_map halo pipeline == single-device smoother.
+@pytest.fixture(scope='module')
+def smoother_inputs(problem):
+    """A level plus distributed random source AND field.
 
-    The per-shard math is the identical color update, so agreement is
-    to reassociation-level rounding (f64: ~1e-13 relative).
+    A point source would leave the s-halo exchange untested (caught a
+    real bug once — the rz residual at the first owned node reads the
+    neighbor's sz plane).
     """
     import jax.numpy as jnp
     from emg3d_tpu import VolumeModel
     from emg3d_tpu import solver as S
-    from emg3d_tpu.ops import smoothers
-    from emg3d_tpu.parallel import shmap
 
     grid, model, sfield = problem
     vm = VolumeModel(grid, model, sfield)
     lev = S.build_levels(grid, vm, 0, 0, np.complex128)[0]
-    # Distributed random source AND field: a point source would leave
-    # the s-halo exchange untested (caught a real bug once — the rz
-    # residual at the first owned node reads the neighbor's sz plane).
     rng = np.random.default_rng(3)
     s = tuple(jnp.asarray(rng.normal(size=np.shape(f))
                           + 1j * rng.normal(size=np.shape(f)))
               for f in (sfield.fx, sfield.fy, sfield.fz))
     e = tuple(jnp.asarray(rng.normal(size=c.shape)
                           + 1j * rng.normal(size=c.shape)) for c in s)
+    return lev, e, s
 
+
+def _rel(ref, out):
+    return max(np.linalg.norm(np.asarray(b) - np.asarray(a)) /
+               np.linalg.norm(np.asarray(a)) for a, b in zip(ref, out))
+
+
+def test_shmap_smoother_matches_single(smoother_inputs):
+    """Explicit shard_map halo pipeline == single-device smoother.
+
+    The per-shard math is the identical color update, so agreement is
+    to reassociation-level rounding (f64: ~1e-13 relative).  Covers
+    the 1-D z and y meshes and the 2-D (y, z) mesh (corner halos).
+    """
+    from emg3d_tpu.ops import smoothers
+    from emg3d_tpu.parallel import shmap
+
+    lev, e, s = smoother_inputs
     ref = smoothers.gauss_seidel_point(*e, *s, *lev.arrays, nu=2)
 
-    for ndev in (4, 8):
-        mesh = parallel.make_mesh(ndev, axes=('z',))
+    for axes, ndev in [(('z',), 4), (('z',), 8), (('y',), 4),
+                       (('y', 'z'), 8)]:
+        mesh = parallel.make_mesh(ndev, axes=axes)
         assert shmap.supported_mesh(mesh, lev.shape)
         out = shmap.gauss_seidel_point_shmap(e, s, lev.arrays, nu=2,
                                              shape=lev.shape, mesh=mesh)
-        for a, b in zip(ref, out):
-            num = np.linalg.norm(np.asarray(b) - np.asarray(a))
-            den = np.linalg.norm(np.asarray(a))
-            assert num / den < 1e-12, (ndev, num / den)
+        assert _rel(ref, out) < 1e-12, (axes, ndev, _rel(ref, out))
+
+
+def test_shmap_line_relaxation_matches_single(smoother_inputs):
+    """Explicit shard_map line relaxation == single-device kernel.
+
+    x-lines on 1-D and 2-D meshes; y-lines on the z mesh and z-lines
+    on the y mesh (rotated frames); line axes that would need a
+    distributed Thomas solve are gated off by supported_line.
+    """
+    from emg3d_tpu.ops import smoothers
+    from emg3d_tpu.parallel import shmap
+
+    lev, e, s = smoother_inputs
+    cases = {0: [(('z',), 4), (('y',), 4), (('y', 'z'), 8)],
+             1: [(('z',), 4)], 2: [(('y',), 4)]}
+    for ax, meshes in cases.items():
+        ref = smoothers.line_relaxation(*e, *s, *lev.arrays, nu=2,
+                                        axis=ax)
+        for axes, ndev in meshes:
+            mesh = parallel.make_mesh(ndev, axes=axes)
+            assert shmap.supported_line(mesh, lev.shape, ax)
+            out = shmap.line_relaxation_shmap(
+                e, s, lev.arrays, nu=2, shape=lev.shape, mesh=mesh,
+                axis=ax)
+            assert _rel(ref, out) < 1e-12, (ax, axes, _rel(ref, out))
+    # Sharded line axes are rejected.
+    assert not shmap.supported_line(
+        parallel.make_mesh(4, axes=('y',)), lev.shape, 1)
+    assert not shmap.supported_line(
+        parallel.make_mesh(4, axes=('z',)), lev.shape, 2)
+    assert not shmap.supported_line(
+        parallel.make_mesh(8, axes=('y', 'z')), lev.shape, 1)
+
+
+def test_shmap_lr_solve_matches_single(problem):
+    """Full sc+lr solve routed through the shard_map line smoother."""
+    grid, model, sfield = problem
+    e0, info0 = solve(grid, model, sfield, cycle='F', verb=1,
+                      linerelaxation=True, semicoarsening=True,
+                      return_info=True)
+    mesh = parallel.make_mesh(4, axes=('z',))
+    e1, info1 = solve(grid, model, sfield, cycle='F', verb=1,
+                      linerelaxation=True, semicoarsening=True,
+                      return_info=True,
+                      sharding=parallel.shard_solve_options(
+                          mesh, min_local_planes=2))
+    assert info1['exit_message'] == 'CONVERGED'
+    assert info1['it_mg'] == info0['it_mg']
+    rel = np.linalg.norm(e1.field - e0.field) / np.linalg.norm(e0.field)
+    assert rel < 1e-10
+
+
+def test_distributed_init():
+    """Multi-host scaffold: 2 OS processes, localhost coordinator.
+
+    Each process owns 4 virtual CPU devices; init() must produce the
+    8-device global view and a z-sharded global-mesh reduction must
+    see every process's planes (real cross-process collectives).
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(('localhost', 0))
+    port = s.getsockname()[1]
+    s.close()
+    coord = f'localhost:{port}'
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env['PYTHONPATH'] = ''
+        env['JAX_PLATFORMS'] = 'cpu'
+        env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+        procs.append(subprocess.Popen(
+            [sys.executable, '/root/repo/scripts/dist_worker.py',
+             coord, '2', str(pid)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True))
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+        assert 'DIST_OK' in out, out[-2000:]
 
 
 def test_shmap_sharded_solve_matches_single(problem):

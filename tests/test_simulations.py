@@ -46,6 +46,29 @@ class TestForward:
         info = sim.get_efield_info('Tx0', 1.0)
         assert info['exit_message'] == 'CONVERGED'
 
+    def test_threaded_nonbatchable_solves(self):
+        """Pairs the batched path can't group (gcrotmk) run from host
+        threads; results must match a serial (max_workers=1) run."""
+        mesh = TensorMesh([np.ones(16) * 200] * 3, origin=(0, 0, 0))
+        model = Model(mesh, np.ones(mesh.shape_cells),
+                      mapping='Conductivity')
+        survey = Survey(
+            name='Threads', sources=([850, 1250], 1600, 1600, 0, 0),
+            receivers=(2350, 1600, 1600, 0, 0), frequencies=1.0,
+            noise_floor=1e-15, relative_error=0.05)
+        opts = {'sslsolver': 'gcrotmk', 'tol': 5e-5,
+                'semicoarsening': False, 'linerelaxation': False}
+        out = {}
+        for nw in (1, 2):
+            sim = Simulation('t', survey, mesh, model, gridding='same',
+                             solver_opts=opts, max_workers=nw, verb=-1)
+            sim.compute()
+            for src in survey.sources:
+                info = sim.get_efield_info(src, 1.0)
+                assert info['exit_message'] == 'CONVERGED', nw
+            out[nw] = np.asarray(sim.data.synthetic).copy()
+        np.testing.assert_allclose(out[2], out[1], rtol=1e-10)
+
     def test_dict_roundtrip(self):
         mesh = TensorMesh([np.ones(8) * 400] * 3, origin=(0, 0, 0))
         model = Model(mesh, 1.0, mapping='Conductivity')

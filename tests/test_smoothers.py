@@ -107,6 +107,58 @@ def test_block_tridiag_solve():
         np.testing.assert_allclose(x[:, line].ravel(), xe, rtol=1e-8)
 
 
+def test_block_tridiag_entries_matches_dense():
+    """Sparse-entry Thomas engine == dense solve on the line sparsity.
+
+    Uses the x-line station pattern (13 symmetric D entries with
+    (2,1)/(4,3) structurally zero; B rows: (0,1..4) + diag) — the
+    256³-enabling engine must reproduce the assembled dense solve.
+    """
+    from emg3d_tpu.ops.blocksolve import (block_tridiag_factor_entries,
+                                          block_tridiag_solve_entries)
+
+    rng = np.random.default_rng(9)
+    S, L, k = 6, 3, 5
+    dkeys = [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4), (1, 0), (2, 0),
+             (3, 0), (4, 0), (3, 1), (4, 1), (3, 2), (4, 2)]
+    bkeys = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 1), (2, 2), (3, 3),
+             (4, 4)]
+
+    def rnd():
+        return (rng.normal(size=(S, L)) + 1j * rng.normal(size=(S, L)))
+
+    Dent = {key: jnp.asarray(rnd() + (10.0 if key[0] == key[1] else 0))
+            for key in dkeys}
+    Bent = {key: jnp.asarray(rnd()) for key in bkeys}
+    r = [jnp.asarray(rnd()) for _ in range(k)]
+
+    facts = block_tridiag_factor_entries(k, Dent, Bent)
+    x = block_tridiag_solve_entries(k, facts, Bent, r)
+    x = np.stack([np.asarray(c) for c in x], axis=-1)  # (S, L, k)
+
+    D = np.zeros((S, L, k, k), complex)
+    B = np.zeros((S, L, k, k), complex)
+    for (a, b), v in Dent.items():
+        D[..., a, b] += np.asarray(v)
+        if a != b:
+            D[..., b, a] += np.asarray(v)
+    for (a, b), v in Bent.items():
+        B[..., a, b] = np.asarray(v)
+
+    for line in range(L):
+        Afull = np.zeros((S * k, S * k), complex)
+        rf = np.zeros(S * k, complex)
+        for i in range(S):
+            Afull[i*k:(i+1)*k, i*k:(i+1)*k] = D[i, line]
+            rf[i*k:(i+1)*k] = [np.asarray(r[m])[i, line]
+                               for m in range(k)]
+            if i > 0:
+                Afull[i*k:(i+1)*k, (i-1)*k:i*k] = B[i, line]
+                Afull[(i-1)*k:i*k, i*k:(i+1)*k] = B[i, line].T
+        xe = np.linalg.solve(Afull, rf)
+        np.testing.assert_allclose(x[:, line].ravel(), xe, rtol=1e-8)
+
+
 def test_node_blocks_match_dense_operator():
     """The 6×6 node blocks equal principal submatrices of dense A."""
     rng, grid, model, sfield, vm = _random_setup()
