@@ -123,9 +123,10 @@ _POINT_OK = {}
 _TILE_OVERRIDE = {}
 
 
-def _compiler_params():
-    return pltpu.CompilerParams(has_side_effects=True,
-                                vmem_limit_bytes=VMEM_LIMIT)
+def _compiler_params(limit=None):
+    return pltpu.CompilerParams(
+        has_side_effects=True,
+        vmem_limit_bytes=VMEM_LIMIT if limit is None else limit)
 
 
 _ENABLED = None
@@ -386,15 +387,16 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     out_cp.wait()
 
 
-def padded_dims(shape, min_yp=0):
+def padded_dims(shape, min_yp=0, min_zp=0):
     """(Yp, Zp, NXP) of the padded global-coordinate layout.
 
-    ``min_yp`` extends the y padding (y-tiled kernels size Yp so the
-    last tile's aligned slab needs no end-clipping).
+    ``min_yp``/``min_zp`` extend the y/z padding (tiled kernels size
+    the padded extents so the last tile's aligned slab needs no
+    end-clipping).
     """
     nx, ny, nz = shape
     Yp = max(-(-(ny + 1) // 8) * 8, -(-min_yp // 8) * 8)
-    Zp = -(-(nz + 1) // 128) * 128
+    Zp = max(-(-(nz + 1) // 128) * 128, -(-min_zp // 128) * 128)
     return Yp, Zp, nx + 2
 
 
@@ -410,8 +412,9 @@ def _padC(a, r0, j0, k0, dims, dt):
             _pad3(a.im, r0, j0, k0, dims, dt))
 
 
-@functools.partial(jax.jit, static_argnames=('shape', 'min_yp'))
-def pack_params(arrays, shape, min_yp=0):
+@functools.partial(jax.jit, static_argnames=('shape', 'min_yp',
+                                              'min_zp'))
+def pack_params(arrays, shape, min_yp=0, min_zp=0):
     """Field-independent kernel parameters in the padded layout.
 
     Returns (pstack (9,·), ihx, ihy, ihz); pstack planes: [stxr, stxi,
@@ -423,7 +426,7 @@ def pack_params(arrays, shape, min_yp=0):
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
     dt = cx.real_dtype_of(eta_x)
-    Yp, Zp, NXP = padded_dims(shape, min_yp)
+    Yp, Zp, NXP = padded_dims(shape, min_yp, min_zp)
     dims = (Yp, Zp, NXP)
 
     stx_, sty_, stz_ = stencil.eta_edge_sums(eta_x, eta_y, eta_z)
@@ -446,10 +449,10 @@ def pack_params(arrays, shape, min_yp=0):
     return pstack, ihx_p, ihy_p, ihz_p
 
 
-def pack_fields(e, s, shape, min_yp=0):
+def pack_fields(e, s, shape, min_yp=0, min_zp=0):
     """(estack (6,·), sstack (6,·)) of the padded layout."""
     dt = e[0].re.dtype
-    dims = padded_dims(shape, min_yp)
+    dims = padded_dims(shape, min_yp, min_zp)
     estack = jnp.stack([
         *_padC(e[0], 0, 0, 0, dims, dt), *_padC(e[1], 0, 0, 0, dims, dt),
         *_padC(e[2], 0, 0, 0, dims, dt),

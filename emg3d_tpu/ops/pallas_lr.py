@@ -43,6 +43,7 @@ path.  The XLA path remains for CPU/native-complex and batched runs.
 Reference parity: emg3d/core.py:477-753 (gauss_seidel_x/y/z).
 """
 import functools
+import os
 
 import numpy as np
 import jax
@@ -52,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import cx
-from .blocksolve import block_tridiag_factor, ldl_solve_factored
+from .blocksolve import block_tridiag_factor_entries, ldl_solve_factored
 from .coeffs import node_coefficients
 from .dsres import _ri
 from .pallas_gs import (pack_params, pack_fields, unpack_efield,
@@ -96,16 +97,31 @@ def _vmem_limit():
     return VMEM_LIMIT
 
 
+# Dedicated scoped-VMEM budget of the Thomas kernel when the shared
+# VMEM_LIMIT does not fit its full-x substitution storage.  Justified
+# for THIS kernel only: its Mosaic vector stack is small (station
+# temporaries are single (ty, tz) tiles; measured at 128³: 58.6 MB
+# declared compiled with ~0 MB stack), and a probe kernel with 110 MB
+# of declared scratch compiled AND ran under a 118 MB limit on v5e
+# (scripts/hw_probe_ztile.py vmem).
+THOMAS_VMEM_LIMIT = int(os.environ.get('EMG3D_TPU_THOMAS_VMEM_LIMIT',
+                                       112 * 1024 * 1024))
+
+
+def _thomas_budget():
+    return max(THOMAS_VMEM_LIMIT, _vmem_limit())
+
+
 def supported_shape(shape, axis):
     """Shape-only gate for lines along ``axis`` (rotated-frame dims).
 
     A hardware probe verdict (:func:`line_probe`) takes precedence;
-    otherwise both kernels must fit the scoped-vmem budget
-    (pallas_gs.VMEM_LIMIT) at their minimum tile sizes: the residual
-    kernel keeps ~_RES_PLANES (XL, Yp, Zp) planes live, and the
-    Thomas kernel's full-x substitution storage (es/rs/zs + factor
-    chunks) scales with nx·ty·Zp.  Infeasible shapes fall back to the
-    XLA path (256³-class support needs streamed zs — tracked).
+    otherwise both kernels must fit their scoped-vmem budgets at
+    their minimum tile sizes: the residual kernel y-tiles down to
+    (XL=4, TYR=16) slabs of ~_RES_PLANES live planes, and the Thomas
+    kernel's full-x substitution storage (es/rs/zs + factor chunks)
+    z-tiles down to TZ=256 slabs under its dedicated budget.
+    Infeasible shapes fall back to the XLA path.
     """
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
     if not (rs[0] >= 8 and rs[1] >= 3 and rs[2] >= 3):
@@ -114,11 +130,9 @@ def supported_shape(shape, axis):
     if verdict is not None:
         return verdict
     Yp, Zp, NXP = padded_dims(rs)
-    budget = _vmem_limit()
-    # Residual kernel: minimum slab is XL = tx + 2 with tx >= 2 (the
-    # driver's floor).  Thomas: minimum TY=16 slab, chx=4 chunks.
-    res_ok = _RES_PLANES * 4 * Yp * Zp * 4 <= budget
-    th_ok = _thomas_bytes(rs[0], NXP, 16, min(4, rs[0]), Zp) <= budget
+    res_ok = _res_bytes(2, min(16, Yp), Zp) <= _vmem_limit()
+    th_ok = _thomas_bytes(rs[0], NXP, 16, min(4, rs[0]),
+                          min(256, Zp)) <= _thomas_budget()
     return res_ok and th_ok
 
 
@@ -126,10 +140,18 @@ def _thomas_bytes(nx, NXP, ty, chx, Zp):
     """Declared VMEM of the Thomas kernel (es+rs+zs+double fbuf),
     plus headroom for the Mosaic vector stack — small for this kernel
     (station temporaries are single (ty, Zp) tiles; measured at 128³:
-    58.6 MB declared compiled under a 64 MB limit)."""
+    58.6 MB declared compiled under a 64 MB limit).  ``Zp`` is the
+    slab z extent — the full padded Zp for one z-tile, TZ when the
+    kernel tiles z (256³-class)."""
     declared = ((12 * NXP + 10 * nx) * ty * Zp
                 + 2 * chx * _NF * ty * Zp) * 4
     return declared + (8 << 20)
+
+
+def _res_bytes(tx, tyl, Zp):
+    """Declared+stack VMEM of the residual kernel for a (XL, tyl, Zp)
+    slab (see _RES_PLANES)."""
+    return _RES_PLANES * (tx + 2) * tyl * Zp * 4
 
 
 def line_tiles(shape):
@@ -149,7 +171,14 @@ def line_tiles(shape):
     nx, ny, nz = shape
     Yp, Zp, NXP = padded_dims(shape)
     budget = _vmem_limit()
-    tx = max(2, min(nx, budget // (_RES_PLANES * Yp * Zp * 4) - 2, 16))
+    xl = budget // (_RES_PLANES * Yp * Zp * 4)
+    if xl - 2 >= 4:
+        tx = max(2, min(nx, xl - 2, 16))
+    else:
+        # Full-y slabs infeasible even at XL=6: the residual kernel
+        # will y-tile (line_layout sizes TYR); balance the x overlap
+        # (2/tx) against the y overlap (8/toyr).
+        tx = min(10, max(2, nx))
     chx = min(8, nx)
     TY = 16
     if _thomas_bytes(nx, NXP, 24, chx, Zp) <= budget:
@@ -159,8 +188,10 @@ def line_tiles(shape):
     return int(tx), TY, chx
 
 
-def line_layout(shape, _tx=None, _ty=None, _chx=None):
-    """(tx, TY, to, chx, ntx, nyt, min_yp) of the line kernels.
+def line_layout(shape, _tx=None, _ty=None, _chx=None, _tz=None,
+                _tyr=None):
+    """(tx, TY, to, chx, ntx, nyt, min_yp, TZ, toz, ntz, min_zp,
+    TYR, toyr, nyr) of the line kernels.
 
     Deterministic in the rotated-frame ``shape`` (plus explicit
     overrides), so factor/parameter stacks cached by the solver are
@@ -168,6 +199,14 @@ def line_layout(shape, _tx=None, _ty=None, _chx=None):
     y-extent (multiple of 8, >= 16), ``to = TY - 8`` the owned lines
     per tile, ``min_yp`` the Yp padding that lets the last aligned
     slab [nyt-1·to, +TY) avoid end-clipping.
+
+    256³-class shapes tile further: the Thomas kernel tiles z in
+    aligned slabs (TZ multiple of 128, ``toz = TZ - 8`` owned lines;
+    ntz = 1 and TZ = the full padded Zp when everything fits — the
+    proven ≤128³ configurations are bit-identical to the untiled
+    kernel), and the residual kernel tiles y (TYR slab, ``toyr =
+    TYR - 8`` owned rows; nyr = 1 = untiled when the full plane
+    fits).
     """
     nx, ny, nz = shape
     dtx, dTY, dchx = line_tiles(shape)
@@ -181,7 +220,51 @@ def line_layout(shape, _tx=None, _ty=None, _chx=None):
     min_yp = (nyt - 1) * to + TY
     chx = _chx if _chx is not None else dchx
     ntx = -(-nx // tx)
-    return tx, TY, to, chx, ntx, nyt, min_yp
+
+    budget = _vmem_limit()
+    Yp0, Zp0, NXP = padded_dims(shape, min_yp)
+
+    # --- Thomas z-tiling: full Zp when it fits, else aligned z-slabs.
+    # Lane-dim (dim 3) HBM slice offsets must be 128-aligned (measured
+    # on v5e, scripts/hw_probe_ztile.py: offsets of 8 or 120 crash the
+    # Mosaic compiler), so slabs own toz = TZ - 128 lines at offsets
+    # zt*toz with toz a multiple of 128; the z-tiled kernel gets the
+    # dedicated _thomas_budget() scoped-VMEM limit.
+    TZ = _tz if _tz is not None else Zp0
+    if (_tz is None
+            and _thomas_bytes(nx, NXP, TY, chx, Zp0) > _thomas_budget()):
+        zbudget = _thomas_budget()
+        TZ = 256
+        while (TZ + 128 < Zp0 and
+               _thomas_bytes(nx, NXP, TY, chx, TZ + 128) <= zbudget):
+            TZ += 128
+    if TZ >= Zp0:
+        TZ, toz, ntz, min_zp = Zp0, Zp0, 1, 0
+    else:
+        if TZ % 128 or TZ < 256:
+            raise ValueError("Thomas z-slab extent must be a multiple "
+                             f"of 128 >= 256; got {TZ}.")
+        toz = TZ - 128
+        ntz = max(1, -(-(nz - 1) // toz))
+        min_zp = (ntz - 1) * toz + TZ
+
+    # --- residual y-tiling: full Yp when it fits, else aligned slabs.
+    Zp = padded_dims(shape, min_yp, min_zp)[1]
+    TYR = _tyr if _tyr is not None else Yp0
+    if _tyr is None and _res_bytes(tx, Yp0, Zp) > budget:
+        TYR = max(16, (budget // (_RES_PLANES * (tx + 2) * Zp * 4))
+                  // 8 * 8)
+    if TYR >= Yp0:
+        TYR, toyr, nyr = Yp0, Yp0, 1
+    else:
+        if TYR < 16 or TYR % 8:
+            raise ValueError("Residual y-slab extent must be a "
+                             f"multiple of 8 >= 16; got {TYR}.")
+        toyr = TYR - 8
+        nyr = max(1, -(-ny // toyr))
+        min_yp = max(min_yp, (nyr - 1) * toyr + TYR)
+    return (tx, TY, to, chx, ntx, nyt, min_yp,
+            TZ, toz, ntz, min_zp, TYR, toyr, nyr)
 
 
 def _line_probe_args(rs, dt):
@@ -202,7 +285,8 @@ def _line_probe_args(rs, dt):
     cells = (nx, ny, nz)
     arrays = (c2(cells), c2(cells), c2(cells), sds(cells),
               sds((nx,)), sds((ny,)), sds((nz,)))
-    Yp, Zp, _ = padded_dims(rs, line_layout(rs)[6])
+    lay = line_layout(rs)
+    Yp, Zp, _ = padded_dims(rs, lay[6], lay[10])
     fstack = sds((nx, _NF, Yp, Zp))
     return e, s, arrays, fstack
 
@@ -228,10 +312,11 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
 
     nx, _, _ = rs
     budget = _vmem_limit()
-    tx, TY, to, chx, _, _, min_yp = line_layout(rs)
-    Yp, Zp, NXP = padded_dims(rs, min_yp)
-    est = max(_RES_PLANES * (tx + 2) * Yp * Zp * 4,
-              _thomas_bytes(nx, NXP, TY, chx, Zp))
+    (tx, TY, to, chx, _, _, min_yp,
+     TZ, toz, ntz, min_zp, TYR, toyr, nyr) = line_layout(rs)
+    Yp, Zp, NXP = padded_dims(rs, min_yp, min_zp)
+    est = max(_res_bytes(tx, TYR, Zp),
+              _thomas_bytes(nx, NXP, TY, chx, TZ))
     if est <= risk_fraction * budget:
         _LINE_OK[rs] = True
         return True
@@ -260,23 +345,39 @@ def line_probe(shape, axis, dt=jnp.float32, risk_fraction=0.25):
 def factors_nbytes(shape, axis, itemsize=4):
     """HBM bytes of the factor stack for lines along ``axis``."""
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
-    Yp, Zp, _ = padded_dims(rs, line_layout(rs)[6])
+    lay = line_layout(rs)
+    Yp, Zp, _ = padded_dims(rs, lay[6], lay[10])
     return rs[0] * _NF * Yp * Zp * itemsize
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('shape', 'axis', 'min_yp'))
-def line_factors(arrays, shape, axis, min_yp=None):
+                   static_argnames=('shape', 'axis', 'min_yp',
+                                    'min_zp', 'fdtype'))
+def line_factors(arrays, shape, axis, min_yp=None, min_zp=None,
+                 fdtype=None):
     """Padded factor stack (S, 46, Yp, Zp) for lines along ``axis``.
+
+    ``fdtype`` selects the STORAGE dtype of the stack (default: the
+    model's real dtype).  bfloat16 halves the kernel's dominant
+    streaming traffic and the HBM cache footprint; it is numerically
+    safe because the factors only multiply the f32 in-kernel residual
+    (δ = M̃⁻¹r with exact r → exact fixed point; the smoothing factor
+    moves by O(2⁻⁸) only).  The elimination itself always runs at the
+    model dtype.
 
     Model-dependent only: computed once per (level, axis) per solve
     and reused across all colors, sweeps and cycles.  For axis 1/2 the
     stack is built in the rotated frame that
-    :func:`line_relaxation_pallas` runs the kernel in.  ``min_yp``
-    defaults to the kernel's own layout padding so the cached stack
-    matches the slabs the Thomas kernel will DMA.
+    :func:`line_relaxation_pallas` runs the kernel in.  ``min_yp``/
+    ``min_zp`` default to the kernel's own layout padding so the
+    cached stack matches the slabs the Thomas kernel will DMA.
+
+    Built on the sparse-ENTRY elimination (blocksolve.block_tridiag_
+    factor_entries) — the dense (..., 5, 5) builder peaked at 22 GB of
+    HLO temporaries at 256³ and OOMed the chip; the entry stacks come
+    back exactly in the kernel's _LORD/dinv order.
     """
-    from .smoothers import _line_blocks_x
+    from .smoothers import _line_entries_x
 
     arrays = rotate_arrays(tuple(arrays), axis)
     if axis == 1:
@@ -286,27 +387,29 @@ def line_factors(arrays, shape, axis, min_yp=None):
 
     nx, ny, nz = shape
     c = node_coefficients(*arrays)
-    D, B = _line_blocks_x(c, arrays[0], nx)
-    factsL, factsd, _ = block_tridiag_factor(D, B)
+    Dent, Bent = _line_entries_x(c, nx)
+    L_all, d_all = block_tridiag_factor_entries(5, Dent, Bent)
 
-    if min_yp is None:
-        min_yp = line_layout(shape)[6]
-    Yp, Zp, _ = padded_dims(shape, min_yp)
-    dt = cx.real_dtype_of(arrays[0])
+    if min_yp is None or min_zp is None:
+        lay = line_layout(shape)
+        min_yp = lay[6] if min_yp is None else min_yp
+        min_zp = lay[10] if min_zp is None else min_zp
+    Yp, Zp, _ = padded_dims(shape, min_yp, min_zp)
+    dt = cx.real_dtype_of(arrays[0]) if fdtype is None else fdtype
 
     def pad(a):
         return jnp.zeros((nx, Yp, Zp), dt).at[
             :, 1:ny, 1:nz].set(a.astype(dt))
 
     planes = []
-    for (i, j) in _LORD:
-        re, im = _ri(factsL[..., i, j])
+    for v in L_all:                     # _lower_keys(5) == _LORD order
+        re, im = _ri(v)
         planes += [pad(re), pad(im)]
-    for i in range(5):
-        re, im = _ri(factsd[..., i])
+    for v in d_all:
+        re, im = _ri(v)
         planes += [pad(re), pad(im)]
-    for (i, j) in _BORD:
-        re, im = _ri(cx.broadcast_to(B[..., i, j], D.shape[:-2]))
+    for k in sorted(Bent.keys()):       # == _BORD order
+        re, im = _ri(Bent[k])
         planes += [pad(re), pad(im)]
     return jnp.stack(planes, axis=1)    # (nx, 46, Yp, Zp)
 
@@ -315,20 +418,30 @@ def line_factors(arrays, shape, axis, min_yp=None):
 # Kernel 1: residual stack
 # ----------------------------------------------------------------------
 
-def _kernel_res(*refs, tx, nx):
-    """One x-tile of the residual stack (rx, ry, rz -> 6 planes).
+def _kernel_res(*refs, tx, nx, ny, tyl=None, toy=None):
+    """One (x[, y])-tile of the residual stack (rx, ry, rz -> 6 planes).
 
     Owned output rows [own_lo, own_hi) ⊆ [0, nx) are blended into the
     loaded (aliased) stack; everything else keeps its previous value,
     so rows ≥ nx stay at their initial zeros (the Thomas kernel relies
     on that for the last station's transverse slots).
+
+    ``tyl``/``toy`` activate y-tiling for 256³-class shapes (the full
+    (Yp, Zp) plane per x-slab is 2-3× any VMEM budget there): slabs
+    at provably-aligned offsets ytile·toy own rows
+    [1 + ytile·toy, 1 + (ytile+1)·toy) — except tile 0, which also
+    owns row 0 and therefore pre-zeros the slab's LAST row in every
+    dn-rolled input (in the untiled layout row 0's down-neighbor is
+    the wrap of the zero padding; in a tile it would be a real row).
+    The blend writeback keeps other tiles' rows intact exactly like
+    the x blend.  ``tyl=None`` keeps the proven untiled behavior.
     """
     e_hbm, s_hbm, p_hbm, ihx_hbm = refs[0], refs[1], refs[2], refs[3]
-    ihy_r, ihz_r = refs[4], refs[5]
+    ihy_hbm, ihz_r = refs[4], refs[5]
     r_out = refs[7]
-    es, ss, ps, ihxs, rs = (refs[8], refs[9], refs[10], refs[11],
-                            refs[12])
-    sems = refs[13]
+    es, ss, ps, ihxs, ihys, rs = (refs[8], refs[9], refs[10], refs[11],
+                                  refs[12], refs[13])
+    sems = refs[14]
 
     XL = tx + 2
     NXP = nx + 2
@@ -336,19 +449,52 @@ def _kernel_res(*refs, tx, nx):
     own_lo = tile * tx
     own_hi = jnp.minimum(own_lo + tx, nx)
     x0 = jnp.clip(own_lo - 1, 0, NXP - XL)
+    if tyl is None:
+        y0 = 0
+
+        def slxy(ref):
+            return ref.at[:, pl.ds(x0, XL)]
+
+        def slhy(ref):
+            return ref.at[:]
+    else:
+        ytile = pl.program_id(1)
+        y0 = ytile * toy
+
+        def slxy(ref):
+            return ref.at[:, pl.ds(x0, XL), pl.ds(y0, tyl)]
+
+        def slhy(ref):
+            return ref.at[:, pl.ds(y0, tyl)]
 
     cps = [
-        pltpu.make_async_copy(e_hbm.at[:, pl.ds(x0, XL)], es, sems.at[0]),
-        pltpu.make_async_copy(s_hbm.at[:, pl.ds(x0, XL)], ss, sems.at[1]),
-        pltpu.make_async_copy(p_hbm.at[:, pl.ds(x0, XL)], ps, sems.at[2]),
+        pltpu.make_async_copy(slxy(e_hbm), es, sems.at[0]),
+        pltpu.make_async_copy(slxy(s_hbm), ss, sems.at[1]),
+        pltpu.make_async_copy(slxy(p_hbm), ps, sems.at[2]),
         pltpu.make_async_copy(ihx_hbm.at[pl.ds(x0, XL)], ihxs,
                               sems.at[3]),
-        pltpu.make_async_copy(r_out.at[:, pl.ds(x0, XL)], rs, sems.at[4]),
+        pltpu.make_async_copy(slhy(ihy_hbm), ihys, sems.at[4]),
+        pltpu.make_async_copy(slxy(r_out), rs, sems.at[5]),
     ]
     for cp in cps:
         cp.start()
     for cp in cps:
         cp.wait()
+
+    if tyl is not None:
+        # Tile 0 owns row 0: its down-neighbor must be the zero wrap,
+        # so zero the slab's last row in every dn-rolled input.
+        @pl.when(ytile == 0)
+        def _():
+            nrow = es.shape[2]
+            row = jax.lax.broadcasted_iota(jnp.int32, es[0].shape, 1)
+            keep = row != nrow - 1
+            for i in range(es.shape[0]):
+                es[i] = jnp.where(keep, es[i], 0.0)
+            for i in range(ps.shape[0]):
+                ps[i] = jnp.where(keep, ps[i], 0.0)
+            hrow = jax.lax.broadcasted_iota(jnp.int32, ihys[0].shape, 0)
+            ihys[0] = jnp.where(hrow != nrow - 1, ihys[0], 0.0)
 
     def E(i):
         return cx.C2(es[i], es[i + 1])
@@ -361,17 +507,21 @@ def _kernel_res(*refs, tx, nx):
 
     rx, ry, rz = slab_residual(
         (E(0), E(2), E(4)), (S(0), S(2), S(4)), (P(0), P(2), P(4)),
-        (ps[6], ps[7], ps[8]), (ihxs[:], ihy_r[:], ihz_r[:]))
+        (ps[6], ps[7], ps[8]), (ihxs[:], ihys[:], ihz_r[:]))
 
     sh = rx.re.shape
     gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
     own = (gx >= own_lo) & (gx < own_hi)
+    if tyl is not None:
+        gy = y0 + jax.lax.broadcasted_iota(jnp.int32, sh, 1)
+        ylo = jnp.where(ytile == 0, 0, 1 + ytile * toy)
+        yhi = 1 + (ytile + 1) * toy
+        own = own & (gy >= ylo) & (gy < yhi)
     for i, a in ((0, rx), (2, ry), (4, rz)):
         rs[i] = jnp.where(own, a.re, rs[i])
         rs[i + 1] = jnp.where(own, a.im, rs[i + 1])
 
-    out_cp = pltpu.make_async_copy(rs, r_out.at[:, pl.ds(x0, XL)],
-                                   sems.at[0])
+    out_cp = pltpu.make_async_copy(rs, slxy(r_out), sems.at[0])
     out_cp.start()
     out_cp.wait()
 
@@ -396,8 +546,9 @@ def _up1(a):
     return _r(a, (a.re if isinstance(a, cx.C2) else a).shape[1] - 1, 1)
 
 
-def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
-    """One y-tile: full-x substitution for every line, masked update.
+def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch,
+                   tz=None, toz=None):
+    """One (y, z)-tile: full-x substitution per line, masked update.
 
     refs: HBM inputs [rstack, fstack, estack(aliased)], output estack,
     scratch [es, rs, zs, fbuf, sems, fsems].
@@ -410,6 +561,15 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
     Zp=128 leniency of round 2 does not carry (measured; see
     scripts/hw_bisect_zp256.py).  The driver pads Yp so the last
     tile's slab fits without clipping.
+
+    ``tz``/``toz`` activate z-tiling for 256³-class shapes (full-Zp
+    slabs are 2-3× any VMEM budget there): slabs own toz z-lines at
+    lane-dim offsets zt·toz with ``tz − toz`` slack columns, exactly
+    mirroring the y scheme.  The cyclic-roll garbage at the slab's
+    first z column only feeds line z0 — never owned (lines start at
+    z0+1); deposits of owned lines stay inside the slab and the
+    whole-slab writeback accumulates across sequential grid steps.
+    ``tz=None`` keeps the proven untiled behavior bit-identical.
     """
     ny, nz = nyz
     r_hbm, f_hbm = refs[0], refs[1]
@@ -422,12 +582,23 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
     y0 = tile * to
     ly = 1 + y0                             # first owned line
     lhi = jnp.minimum(ly + to, ny)          # one past last owned line
+    if tz is None:
+        z0 = 0
+
+        def slz(ref, *idx):
+            return ref.at[(*idx, pl.ds(y0, TY))]
+    else:
+        ztile = pl.program_id(1)
+        z0 = ztile * toz
+
+        def slz(ref, *idx):
+            return ref.at[(*idx, pl.ds(y0, TY), pl.ds(z0, tz))]
 
     cps = [
-        pltpu.make_async_copy(e_out.at[:, :, pl.ds(y0, TY)], es,
-                              sems.at[0]),
-        pltpu.make_async_copy(r_hbm.at[:, :, pl.ds(y0, TY)], rs,
-                              sems.at[1]),
+        pltpu.make_async_copy(slz(e_out, slice(None), slice(None)),
+                              es, sems.at[0]),
+        pltpu.make_async_copy(slz(r_hbm, slice(None), slice(None)),
+                              rs, sems.at[1]),
     ]
     for cp in cps:
         cp.start()
@@ -437,11 +608,19 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
     def get_fdma(slot, c):
         c0 = jnp.clip(c * chx, 0, nx - chx)
         return pltpu.make_async_copy(
-            f_hbm.at[pl.ds(c0, chx), :, pl.ds(y0, TY)],
+            slz(f_hbm, pl.ds(c0, chx), slice(None)),
             fbuf.at[slot], fsems.at[slot])
 
     def F(slot, li, p):
-        return cx.C2(fbuf[slot, li, 2 * p], fbuf[slot, li, 2 * p + 1])
+        # Factor stacks may be stored bfloat16 (half the streaming
+        # bytes; numerically safe — the factors only multiply the f32
+        # in-kernel residual, so the smoother's fixed point is exact);
+        # upcast at use so the station arithmetic stays f32.
+        re = fbuf[slot, li, 2 * p]
+        im = fbuf[slot, li, 2 * p + 1]
+        if re.dtype != es.dtype:
+            re, im = re.astype(es.dtype), im.astype(es.dtype)
+        return cx.C2(re, im)
 
     def Ldict(slot, li):
         L = {}
@@ -502,12 +681,14 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
     cy = color % 2
     cz = color // 2
     gy = y0 + jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 0)
-    gz = jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 1)
+    gz = z0 + jax.lax.broadcasted_iota(jnp.int32, zeros2.shape, 1)
+    lz = 1 + z0                           # first owned z line
+    lzhi = nz if tz is None else jnp.minimum(lz + toz, nz)
     # Line (iy, iz) active iff its transverse parity matches the color
     # ((iy-1) % 2 == cy etc. — the XLA path's parity-split convention)
     # and the line is interior and owned by this tile.
     mask = (((gy + 1) % 2 == cy) & ((gz + 1) % 2 == cz) &
-            (gy >= ly) & (gy < lhi) & (gz >= 1) & (gz <= nz - 1))
+            (gy >= ly) & (gy < lhi) & (gz >= lz) & (gz < lzhi))
 
     # ---------------- backward: δ_i = z_i − C⁻¹(B_{i+1}ᵀ δ_{i+1}),
     # with the e-update applied immediately per station.
@@ -561,8 +742,8 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
                   (tuple(c2z() for _ in range(5)),
                    tuple(c2z() for _ in range(8))))
 
-    out_cp = pltpu.make_async_copy(es, e_out.at[:, :, pl.ds(y0, TY)],
-                                   sems.at[0])
+    out_cp = pltpu.make_async_copy(
+        es, slz(e_out, slice(None), slice(None)), sems.at[0])
     out_cp.start()
     out_cp.wait()
 
@@ -573,80 +754,93 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch):
 
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_tx',
-                                    '_ty', '_chx'))
+                                    '_ty', '_chx', '_tz', '_tyr',
+                                    '_fdt'))
 def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
-                      interpret=False, _tx=None, _ty=None, _chx=None):
+                      interpret=False, _tx=None, _ty=None, _chx=None,
+                      _tz=None, _tyr=None, _fdt=None):
     """nu sweeps of 4-color x-line relaxation as fused Pallas steps."""
     nx, ny, nz = shape
     dt = e[0].re.dtype
 
-    # Tile sizes: residual x-slabs like the point kernel; Thomas
-    # y-slabs of ``to`` owned lines (multiple of 8 -> provably aligned
-    # dim-2 HBM slices; mandatory at Zp >= 256) + 8 halo/slack rows,
-    # sized so es+rs+zs+2 factor chunks stay in VMEM (see _RES_PLANES
-    # / _thomas_bytes; a probe-installed override wins).
-    tx, ty, to, chx, ntx, nyt, min_yp = line_layout(
-        shape, _tx=_tx, _ty=_ty, _chx=_chx)
+    # Tile sizes: residual x-slabs like the point kernel (y-tiled too
+    # for 256³-class planes); Thomas y-slabs of ``to`` owned lines
+    # (multiple of 8 -> provably aligned dim-2 HBM slices; mandatory
+    # at Zp >= 256) + 8 halo/slack rows, z-slabs of ``toz`` owned
+    # lines (multiple of 128 — the lane-dim offset granularity) when
+    # full-Zp slabs exceed even the raised Thomas budget (see
+    # _RES_PLANES / _thomas_bytes; a probe-installed override wins).
+    (tx, ty, to, chx, ntx, nyt, min_yp,
+     TZ, toz, ntz, min_zp, TYR, toyr, nyr) = line_layout(
+        shape, _tx=_tx, _ty=_ty, _chx=_chx, _tz=_tz, _tyr=_tyr)
     nch = -(-nx // chx)
 
-    Yp, Zp, NXP = padded_dims(shape, min_yp)
+    Yp, Zp, NXP = padded_dims(shape, min_yp, min_zp)
     if params is not None and params[0].shape == (9, NXP, Yp, Zp):
         pstack, ihx_p, ihy_p, ihz_p = params
     else:
-        pstack, ihx_p, ihy_p, ihz_p = pack_params(tuple(arrays), shape,
-                                                  min_yp=min_yp)
-    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp)
+        pstack, ihx_p, ihy_p, ihz_p = pack_params(
+            tuple(arrays), shape, min_yp=min_yp, min_zp=min_zp)
+    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp,
+                                 min_zp=min_zp)
     if fstack is None or fstack.shape != (nx, _NF, Yp, Zp):
-        fstack = line_factors(arrays, shape, 0, min_yp=min_yp)
+        fstack = line_factors(arrays, shape, 0, min_yp=min_yp,
+                              min_zp=min_zp, fdtype=_fdt)
     rstack = jnp.zeros((6, NXP, Yp, Zp), dt)
 
     seq = []
     for it in range(nu):
         seq.extend(range(4) if it % 2 == 0 else range(3, -1, -1))
 
+    tyl = Yp if nyr == 1 else TYR
     res_call = pl.pallas_call(
-        functools.partial(_kernel_res, tx=tx, nx=nx),
-        grid=(ntx,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
-                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2 +
+        functools.partial(_kernel_res, tx=tx, nx=nx, ny=ny,
+                          tyl=None if nyr == 1 else TYR, toy=toyr),
+        grid=(ntx,) if nyr == 1 else (ntx, nyr),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5 +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         scratch_shapes=[
-            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
-            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
-            pltpu.VMEM((9, tx + 2, Yp, Zp), dt),
+            pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
+            pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
+            pltpu.VMEM((9, tx + 2, tyl, Zp), dt),
             pltpu.VMEM((tx + 2, 1, Zp), dt),
-            pltpu.VMEM((6, tx + 2, Yp, Zp), dt),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((1, tyl, Zp), dt),
+            pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         input_output_aliases={6: 0},
         interpret=interpret,
         compiler_params=_compiler_params(),
     )
 
+    th_bytes = _thomas_bytes(nx, NXP, ty, chx, TZ)
+    th_limit = None if th_bytes <= _vmem_limit() else _thomas_budget()
     thomas_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nyt,),
+        grid=(nyt,) if ntz == 1 else (nyt, ntz),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((6, NXP, ty, Zp), dt),
-            pltpu.VMEM((6, NXP, ty, Zp), dt),
-            pltpu.VMEM((10, nx, ty, Zp), dt),
-            pltpu.VMEM((2, chx, _NF, ty, Zp), dt),
+            pltpu.VMEM((6, NXP, ty, TZ), dt),
+            pltpu.VMEM((6, NXP, ty, TZ), dt),
+            pltpu.VMEM((10, nx, ty, TZ), dt),
+            pltpu.VMEM((2, chx, _NF, ty, TZ), fstack.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     thomas_call = pl.pallas_call(
         functools.partial(_kernel_thomas, nx=nx, nyz=(ny, nz), ty=ty,
-                          to=to, chx=chx, nch=nch),
+                          to=to, chx=chx, nch=nch,
+                          tz=None if ntz == 1 else TZ, toz=toz),
         grid_spec=thomas_grid,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         input_output_aliases={3: 0},
         interpret=interpret,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(limit=th_limit),
     )
 
     def body(carry, color):
@@ -692,8 +886,9 @@ def line_params(arrays_rot, shape, axis):
     frame (cached per (level, axis) by the solver alongside the factor
     stack; ``arrays_rot`` is :func:`rotate_arrays`' result)."""
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
+    lay = line_layout(rs)
     return pack_params(tuple(arrays_rot), rs,
-                       min_yp=line_layout(rs)[6])
+                       min_yp=lay[6], min_zp=lay[10])
 
 
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,

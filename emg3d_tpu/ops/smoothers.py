@@ -191,6 +191,57 @@ def _line_blocks_x(c, proto, nx):
     return D, B
 
 
+def _line_entries_x(c, nx):
+    """Station-block ENTRIES of the x-line system, unsplit transverse
+    layout (each entry one (nx, ny-1, nz-1) stack).
+
+    The sparse-entry sibling of :func:`_line_blocks_x` — same values,
+    no dense (..., 5, 5) materialization (256³: the dense build peaked
+    at 22 GB of HLO temps).  Used to build the Pallas streamed-factor
+    stacks (ops/pallas_lr.line_factors) and by callers that want the
+    global transverse layout.
+    """
+    ent = node_block_entries(c)
+    nsh = ent[(0, 0)].shape  # (nx-1, nyn, nzn)
+
+    def full(v):
+        return cx.broadcast_to(v, nsh)
+
+    def padx(a, lo, hi):
+        return cx.pad(a, ((lo, hi), (0, 0), (0, 0)))
+
+    _D_MAP = {(0, 0): (0, 0), (1, 1): (2, 2), (2, 2): (3, 3),
+              (3, 3): (4, 4), (4, 4): (5, 5), (1, 0): (2, 0),
+              (2, 0): (3, 0), (3, 0): (4, 0), (4, 0): (5, 0),
+              (3, 1): (4, 2), (4, 1): (5, 2), (3, 2): (4, 3),
+              (4, 2): (5, 3)}
+    Dent = {}
+    for (a, b), key in _D_MAP.items():
+        body = full(ent[key])
+        if a == b:
+            if a == 0:
+                last = full(ent[(1, 1)])[-1:]
+            else:
+                last = cx.zeros_like(body[:1]) + 1.0
+            Dent[(a, b)] = cx.concatenate([body, last], axis=0)
+        else:
+            Dent[(a, b)] = padx(body, 0, 1)
+
+    byy_m = -(c.mzxLym * c.ihxm)
+    byy_p = -(c.mzxLyp * c.ihxm)
+    bzz_m = -(c.myxLzm * c.ihxm)
+    bzz_p = -(c.myxLzp * c.ihxm)
+    Bent = {(0, 1): padx(full(ent[(2, 1)]), 1, 0),
+            (0, 2): padx(full(ent[(3, 1)]), 1, 0),
+            (0, 3): padx(full(ent[(4, 1)]), 1, 0),
+            (0, 4): padx(full(ent[(5, 1)]), 1, 0),
+            (1, 1): padx(full(byy_m)[1:], 1, 1),
+            (2, 2): padx(full(byy_p)[1:], 1, 1),
+            (3, 3): padx(full(bzz_m)[1:], 1, 1),
+            (4, 4): padx(full(bzz_p)[1:], 1, 1)}
+    return Dent, Bent
+
+
 def _line_entries_x_parity(c, nx, ny2, nz2):
     """Station-block ENTRIES in parity-split padded layout.
 

@@ -319,7 +319,7 @@ class _Level:
     """Per-level data: model parameters, widths, transfer weights."""
 
     __slots__ = ('shape', 'arrays', 'coarsen', 'rweights', 'pweights',
-                 'nodes', 'h_np', 'fstacks', 'pparams')
+                 'nodes', 'h_np', 'fstacks', 'pparams', 'cache_meter')
 
     def __init__(self, shape, arrays, h_np, nodes):
         self.shape = shape          # cell shape
@@ -331,6 +331,7 @@ class _Level:
         self.pweights = None
         self.fstacks = {}           # axis -> Pallas line-factor stack
         self.pparams = None         # cached Pallas point-kernel params
+        self.cache_meter = None     # hierarchy-shared big-cache bytes
 
 
 def use_split_complex():
@@ -443,6 +444,12 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
                    *[jnp.asarray(h, dtype=rdtype) for h in ch_np])
         levels.append(_Level(cshape, carrays, ch_np, cnodes))
 
+    # One big-cache byte meter shared across the hierarchy: big line-
+    # factor stacks (256³-class) are admitted against it so the sum
+    # over levels and axes stays bounded (see _level_fstacks).
+    meter = {'bytes': 0}
+    for lev in levels:
+        lev.cache_meter = meter
     return levels
 
 
@@ -605,12 +612,20 @@ def _constrain(x, mesh):
     return constrain(x, mesh)
 
 
-# A cached line-factor stack larger than this recomputes inline in the
-# smoothing jit instead (256³-class grids: ~4.9 GB per (level, axis)
-# would keep three axes' caches > HBM; the elimination is one scan per
-# smoothing call, like the XLA path always paid).
+# A cached line-factor stack larger than this is stored bfloat16
+# (half the kernel's streaming bytes; numerically safe — see
+# pallas_lr.line_factors), its rotated-parameter/pstack companions are
+# not cached at all (rebuilding them in-jit costs ~ms against a
+# multi-hundred-ms smoothing call, but holding them across levels and
+# axes costs GBs), and a stack that cannot be admitted against the
+# hierarchy-wide _FSTACK_EVICT_BYTES meter recomputes inline in the
+# smoothing jit (the elimination is one scan per smoothing call, like
+# the XLA path always paid).  Measured: an unmetered 256³ sc+lr
+# hierarchy accumulated ~16 GB of per-level caches and OOMed the chip.
 _FSTACK_CACHE_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_BYTES',
-                                         1_500_000_000))
+                                         256_000_000))
+_FSTACK_EVICT_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_EVICT',
+                                         8_000_000_000))
 
 
 def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
@@ -630,24 +645,51 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
     lr = _current_lr_dir(lr_dir, lev.shape)
     if lr == 0:
         return None
+    import jax.numpy as jnp
     out = [None, None, None]
     any_ax = False
-    for ax in _lr_axes(lr):
-        # Gate + probe-compile before embedding (see _level_pparams).
-        if not (pallas_lr.supported_shape(lev.shape, ax)
-                and pallas_lr.line_probe(lev.shape, ax)):
-            continue
+    axes = [ax for ax in _lr_axes(lr)
+            if (pallas_lr.supported_shape(lev.shape, ax)
+                and pallas_lr.line_probe(lev.shape, ax))]
+    meter = lev.cache_meter if lev.cache_meter is not None \
+        else {'bytes': 0}
+    for ax in axes:
         if ax not in lev.fstacks:
             nbytes = pallas_lr.factors_nbytes(lev.shape, ax)
-            fs = () if nbytes > _FSTACK_CACHE_BYTES \
-                else pallas_lr.line_factors(lev.arrays, lev.shape, ax)
-            # Rotated-frame parameters are field-independent too:
-            # cache them so y/z-line calls only transpose the fields —
-            # including the packed residual-kernel st/w stacks.
-            rot = None if ax == 0 else \
-                pallas_lr.rotate_arrays_jit(lev.arrays, axis=ax)
-            pp = pallas_lr.line_params(
-                lev.arrays if rot is None else rot, lev.shape, ax)
+            if nbytes <= _FSTACK_CACHE_BYTES:
+                fs = pallas_lr.line_factors(lev.arrays, lev.shape, ax)
+                # Rotated-frame parameters are field-independent too:
+                # cache them so y/z-line calls only transpose the
+                # (changing) fields — including the packed residual-
+                # kernel st/w stacks.
+                rot = None if ax == 0 else \
+                    pallas_lr.rotate_arrays_jit(lev.arrays, axis=ax)
+                pp = pallas_lr.line_params(
+                    lev.arrays if rot is None else rot, lev.shape, ax)
+            else:
+                # Big stack (256³ class): evict axes outside this
+                # cycle's pair (the (4,5,6) rotation shares one axis
+                # between consecutive cycles -> at worst one rebuild
+                # per cycle), store bfloat16 if the hierarchy-wide
+                # meter admits it, and never cache the rot/pstack
+                # companions (rebuilt in-jit, ~ms per call).
+                for other in list(lev.fstacks):
+                    ofs = lev.fstacks[other][0]
+                    # Only big (metered) stacks are evicted: a bf16
+                    # stack of a > _FSTACK_CACHE_BYTES f32 stack has
+                    # nbytes > _FSTACK_CACHE_BYTES // 2.
+                    if other not in axes and ofs is not None and \
+                            not isinstance(ofs, tuple) and \
+                            ofs.nbytes > _FSTACK_CACHE_BYTES // 2:
+                        meter['bytes'] -= ofs.nbytes
+                        del lev.fstacks[other]
+                if meter['bytes'] + nbytes // 2 <= _FSTACK_EVICT_BYTES:
+                    fs = pallas_lr.line_factors(
+                        lev.arrays, lev.shape, ax, fdtype=jnp.bfloat16)
+                    meter['bytes'] += fs.nbytes
+                else:
+                    fs = ()
+                rot, pp = None, None
             lev.fstacks[ax] = (fs, rot, pp)
         out[ax] = lev.fstacks[ax]
         any_ax = True
@@ -1100,10 +1142,15 @@ def _ds_accumulate(ehi, elo, delta):
 
 # Warm-latency knobs of the single-solve Krylov refinement (see
 # _refine_krylov; hardware-tuned at 32³, scripts/hw_warm32.py): the
-# pass-0 tolerance loosening and how many 1-cycle shortcut
-# applications to try before paying a full Krylov pass.
-_REFINE_INNER_SCALE = 4.0
-_REFINE_SHORTCUT_TRIES = 4
+# pass-0 tolerance loosening, how many shortcut applications to try
+# before paying a full Krylov pass, and the MG cycles per shortcut
+# (None = the full var.maxit preconditioner schedule).  With the
+# per-iteration Krylov exit (no speculative iterations) the minimal
+# schedule wins: pass-0 at full tol + ONE 1-cycle shortcut = 7 MG
+# cycles / 2.3 s warm at 32³ (was 19-21 cycles / 3.1-3.2 s).
+_REFINE_INNER_SCALE = 1.0
+_REFINE_SHORTCUT_TRIES = 1
+_REFINE_SHORTCUT_CYCLES = 1
 
 
 def _refine_krylov(residual_fn, norm_fn, precond, inner, xhi, xlo,
@@ -1502,12 +1549,13 @@ def krylov(ctx, var):
                 return _precond_fixed_cycles(ctx, var, r, batch=False)
 
             def precond_short(r):
-                # Refinement shortcut: the gap left by a loosened
-                # pass-0 is a handful of ×tol — ONE MG cycle (~10×
-                # reduction) usually closes it at 1/maxit the cost of
-                # the full preconditioner schedule.
-                return _precond_fixed_cycles(ctx, var, r, batch=False,
-                                             cycles=1)
+                # Refinement shortcut: the gap left by pass-0 is a
+                # handful of ×tol; a shortened MG application can
+                # close it at a fraction of the full preconditioner
+                # schedule (knob-tuned on hardware).
+                return _precond_fixed_cycles(
+                    ctx, var, r, batch=False,
+                    cycles=_REFINE_SHORTCUT_CYCLES)
 
             kernel = _bicgstab_device if var.sslsolver == 'bicgstab' \
                 else _cgs_device
@@ -1657,15 +1705,20 @@ def _bicg_alpha(rtilde, v, rho, r):
 
 def _bicgstab_device(matvec, precond, b, x, atol, maxiter, callback,
                      l2scale=1.0):
-    """BiCGSTAB with device-resident scalars and a lagged 1-fetch check.
+    """BiCGSTAB with device-resident scalars and a per-iteration
+    1-fetch check.
 
     Same recurrence as :func:`_bicgstab`, but every scalar (rho, alpha,
     omega, beta) stays a C2 device scalar: the host never blocks inside
-    an iteration.  Breakdown/convergence tests run on a packed
-    diagnostics vector fetched with a one-iteration lag — a speculative
-    iteration may be computed past the converged/broken one and is
-    discarded, exactly like the multigrid pipeline's lookahead.
-    C2 (split) fields only.
+    an iteration.  Breakdown/convergence tests run on ONE packed
+    diagnostics vector per iteration, fetched right after the
+    iteration is dispatched: the fetch costs one device->host round
+    trip of pipeline bubble (~28 ms on the tunnel), which is noise
+    against the 6 MG preconditioner cycles a speculatively dispatched
+    extra iteration would waste (measured at 32³: a one-iteration lag
+    dispatched 3 iterations where 1 sufficed — 12 wasted cycles ≈
+    2 s; the lagged variant lives on only for the MG cycle pipeline,
+    whose per-step work is one cycle, not six).  C2 (split) only.
     """
     from collections import deque
 
@@ -1680,7 +1733,7 @@ def _bicgstab_device(matvec, precond, b, x, atol, maxiter, callback,
     p = tuple(cx.zeros_like(c) for c in r)
 
     atol2 = atol * atol
-    lag = 1 if _pipelined_checks() else 0
+    lag = 0
     pend = deque()
 
     def check(entry):
@@ -1701,6 +1754,11 @@ def _bicgstab_device(matvec, precond, b, x, atol, maxiter, callback,
         if tt == 0:
             return x_start, -12
         callback(x_after, l2=float(np.sqrt(rn2_new)) * l2scale)
+        if rn2_new <= atol2:
+            # Converged ON this iteration: without this test the exit
+            # would wait for the NEXT entry's rn2 — one extra full
+            # iteration (2 preconditioner applications) every solve.
+            return x_after, 0
         if om2 == 0:
             return x_after, -13
         return None
@@ -1802,8 +1860,8 @@ def _cgs_device(matvec, precond, b, x, atol, maxiter, callback,
     p = tuple(cx.zeros_like(c) for c in r)
 
     atol2 = atol * atol
-    lag = 1 if _pipelined_checks() else 0
-    pend = deque()
+    lag = 0          # see _bicgstab_device: the fetch bubble is noise
+    pend = deque()   # against a wasted speculative iteration
 
     def check(entry):
         x_start, x_after, diag_d = entry
@@ -1815,6 +1873,8 @@ def _cgs_device(matvec, precond, b, x, atol, maxiter, callback,
         if den2 == 0:
             return x_start, -11
         callback(x_after, l2=float(np.sqrt(rn2_new)) * l2scale)
+        if rn2_new <= atol2:
+            return x_after, 0
         return None
 
     for it in range(maxiter):

@@ -27,6 +27,7 @@ def main():
         else:
             cfgs.append(tuple(None if p == 'None' else int(p)
                               for p in tok.split(',')))
+    bf16 = 'bf16' in sys.argv[3:]
 
     import jax
     import jax.numpy as jnp
@@ -36,11 +37,12 @@ def main():
     shape = (n, n, n)
     e, s, par = setup(shape)
     print(f"backend={jax.default_backend()} "
-          f"limit={pallas_lr._vmem_limit()}", flush=True)
+          f"limit={pallas_lr._vmem_limit()} bf16={bf16}", flush=True)
 
     t0 = time.perf_counter()
-    fs = pallas_lr.line_factors(par, shape, 0)
-    float(jnp.sum(fs))
+    fs = pallas_lr.line_factors(
+        par, shape, 0, fdtype=jnp.bfloat16 if bf16 else None)
+    float(jnp.sum(fs.astype(jnp.float32)))
     print(f"factors: {time.perf_counter()-t0:.1f}s "
           f"({fs.nbytes/2**20:.0f} MB)", flush=True)
 

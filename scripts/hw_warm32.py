@@ -40,17 +40,19 @@ def main(n=32):
 
     # Sweep the host-side refinement knobs (the jitted pieces are
     # shared, so each variant runs warm).
-    for scale, tries in [(1.0, 1), (4.0, 4), (4.0, 2), (8.0, 4),
-                         (2.0, 2)]:
+    for scale, tries, cyc in [(1.0, 1, None), (1.0, 1, 1),
+                              (1.0, 2, 2), (4.0, 1, None),
+                              (4.0, 2, 2), (1.0, 1, 2)]:
         S._REFINE_INNER_SCALE = scale
         S._REFINE_SHORTCUT_TRIES = tries
+        S._REFINE_SHORTCUT_CYCLES = cyc
         best = 1e30
         for it in range(3):
             t0 = time.time()
             e, info = solve(grid, model, sfield, **opts)
             best = min(best, time.time() - t0)
-        print(f"scale={scale} tries={tries}: best {best:.2f} s "
-              f"{info['exit_message']} rel={info['rel_error']:.2e} "
+        print(f"scale={scale} tries={tries} cyc={cyc}: best {best:.2f} "
+              f"s {info['exit_message']} rel={info['rel_error']:.2e} "
               f"it_ssl={info['it_ssl']} it_mg={info['it_mg']}",
               flush=True)
 

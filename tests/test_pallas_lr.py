@@ -99,10 +99,23 @@ def test_solver_dispatches_pallas_line(monkeypatch):
             np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
             atol=2e-5)
 
-    # 256³-class guard: an over-budget stack degrades to the inline
-    # sentinel () and the dispatch recomputes factors in-jit — same
-    # result, no HBM cache.
+    # 256³-class policy: a stack over the f32 cache limit is stored
+    # bfloat16 (half the streaming bytes; fixed point exact).
     monkeypatch.setattr(solver, '_FSTACK_CACHE_BYTES', 0)
+    lev.fstacks.clear()
+    fst_bf = solver._level_fstacks(lev, lr_dir=1)
+    assert fst_bf[0][0].dtype == jnp.bfloat16
+    out_bf = solver._smooth(e, s, lev.arrays, nu=2, lr_dir=1,
+                            shape=shape, fstacks=fst_bf)
+    for a, b in zip(out, out_bf):
+        da = np.asarray(cx.tocomplex(a))
+        db = np.asarray(cx.tocomplex(b))
+        assert (np.linalg.norm(db - da) /
+                max(np.linalg.norm(da), 1e-30)) < 2e-2
+
+    # Over even the bf16 eviction budget: the inline sentinel () and
+    # the dispatch recomputes factors in-jit — same result, no cache.
+    monkeypatch.setattr(solver, '_FSTACK_EVICT_BYTES', 0)
     lev.fstacks.clear()
     fst2 = solver._level_fstacks(lev, lr_dir=1)
     assert fst2[0][0] == ()
@@ -112,6 +125,66 @@ def test_solver_dispatches_pallas_line(monkeypatch):
         np.testing.assert_allclose(np.asarray(cx.tocomplex(b)),
                                    np.asarray(cx.tocomplex(a)),
                                    atol=1e-6)
+
+
+def test_forced_residual_y_tiling_matches_untiled():
+    """_tyr forces residual y-slabs; result must equal the untiled
+    kernel exactly (same math on the same loaded values)."""
+    shape = (8, 40, 8)
+    e, s, par = _setup(shape, seed=3)
+    ref = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True)
+    out = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True, _tyr=16)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=1e-6)
+    xla = smoothers.line_relaxation(*e, *s, *par, nu=2, axis=0)
+    for a, b in zip(xla, out):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=2e-5)
+
+
+def test_forced_thomas_z_tiling_matches_untiled():
+    """_tz forces Thomas z-slabs (the 256³-class configuration: TZ a
+    multiple of 128 >= 256, toz = TZ - 128 owned lines at 128-aligned
+    lane offsets); result must equal the untiled kernel."""
+    shape = (8, 6, 260)                 # Zp0 = 384 > TZ = 256
+    e, s, par = _setup(shape, seed=4)
+    ref = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True)
+    out = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True, _tz=256)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=1e-6)
+    xla = smoothers.line_relaxation(*e, *s, *par, nu=2, axis=0)
+    for a, b in zip(xla, out):
+        np.testing.assert_allclose(
+            np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
+            atol=2e-5)
+
+
+def test_bf16_factor_stack_close_to_f32():
+    """bfloat16-stored factors perturb the update by O(2^-8) only."""
+    import jax.numpy as jnp
+    shape = (12, 8, 8)
+    e, s, par = _setup(shape, seed=9)
+    fs32 = line_factors(par, shape, 0)
+    fsbf = line_factors(par, shape, 0, fdtype=jnp.bfloat16)
+    assert fsbf.dtype == jnp.bfloat16
+    ref = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 fstack=fs32, interpret=True)
+    out = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 fstack=fsbf, interpret=True)
+    for a, b in zip(ref, out):
+        da = np.asarray(cx.tocomplex(a))
+        db = np.asarray(cx.tocomplex(b))
+        rel = np.linalg.norm(db - da) / max(np.linalg.norm(da), 1e-30)
+        assert rel < 2e-2, rel
 
 
 def test_supported_gate():
