@@ -501,10 +501,15 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
         if ent is not None:
             fs, rot, pp = ent
             from .ops import pallas_lr
+            inline = isinstance(fs, tuple)
+            # The () sentinel only ever stands for a stack too big for
+            # the HBM meter -> the inline rebuild stores bf16 too
+            # (half the transient and the streaming bytes).
             e = pallas_lr.line_relaxation_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
-                axis=ax, fstack=None if isinstance(fs, tuple) else fs,
-                arrays_rot=rot, params=pp)
+                axis=ax, fstack=None if inline else fs,
+                arrays_rot=rot, params=pp,
+                _fdt=jnp.bfloat16 if inline else None)
         else:
             e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
                                           axis=ax)

@@ -141,6 +141,44 @@ class TestHomogeneousVTI:
         golden = helpers.get_field(reg, 'res>bicresult', grid)
         assert _rel(e, golden) < 2e-5
 
+    def test_device_krylov_exits_without_speculation(self):
+        """The packed-diagnostics check stops ON the converged
+        iteration: an exact preconditioner converges BiCGSTAB in one
+        iteration, so precond must run exactly twice (phat, shat) —
+        a lagged check used to dispatch a whole speculative iteration
+        (two more preconditioner applications = 6 wasted MG cycles in
+        production) before noticing."""
+        import jax.numpy as jnp
+        from emg3d_tpu import cx
+        from emg3d_tpu import solver as S
+
+        rng = np.random.default_rng(3)
+        a = cx.C2(jnp.asarray(rng.uniform(1, 2, 64), jnp.float32),
+                  jnp.asarray(rng.uniform(.1, .5, 64), jnp.float32))
+        ainv_d = a.re * a.re + a.im * a.im
+        ainv = cx.C2(a.re / ainv_d, -a.im / ainv_d)
+        b = (cx.C2(jnp.asarray(rng.standard_normal(64), jnp.float32),
+                   jnp.asarray(rng.standard_normal(64), jnp.float32)),)
+        x0 = (cx.zeros_like(b[0]),)
+        calls = {'mv': 0, 'pc': 0}
+
+        def matvec(x):
+            calls['mv'] += 1
+            return (a * x[0],)
+
+        def precond(r):
+            calls['pc'] += 1
+            return (ainv * r[0],)
+
+        bnorm = float(S._norm(b[0], b[0], b[0])) / np.sqrt(3)
+        x, info = S._bicgstab_device(matvec, precond, b, x0,
+                                     atol=1e-5 * bnorm, maxiter=10,
+                                     callback=lambda *al, **kw: None)
+        assert info == 0
+        assert calls['pc'] == 2, calls
+        r = np.asarray(cx.tocomplex(b[0] - a * x[0]))
+        assert np.linalg.norm(r) <= 1e-5 * bnorm * np.sqrt(3)
+
     def test_restart_equivalence(self, setup):
         """2x2 cycles resumed == 4 cycles (reference test_solver 180-186).
         """
