@@ -67,8 +67,31 @@ def main():
         leaf = jax.tree_util.tree_leaves(x)[0]
         return float(abs(leaf.ravel()[0]))
 
+    # The production standalone f32 cycle is correction form (δ =
+    # MG(0, r), e += δ, r re-evaluated — licenses bfloat16 s/params
+    # streaming in the smoothers); time exactly that chain, residual
+    # evaluation included.  Falls back to the direct-form chain when
+    # the bf16 mode is off (f64, EMG3D_TPU_BF16_SMOOTH=0).
+    from emg3d_tpu import cx as _cx
+    spdt = S._smooth_spdt(ctx.e)
+
+    def one_cycle(ee, rr):
+        # Either mode pays the per-cycle residual evaluation the
+        # production convergence check computes (the pre-round-3 bench
+        # loop left it untimed — ~5% flattering).
+        if spdt is None:
+            ee = S.run_one_cycle(ee, ctx.s, levels, conf)
+            rr = S._jit_residual(ee, ctx.s, levels[0].arrays)
+            return ee, rr
+        zero = tuple(_cx.zeros_like(c) for c in ee)
+        delta = S.run_one_cycle(zero, rr, levels, conf, spdt=spdt)
+        ee = tuple(a + d for a, d in zip(ee, delta))
+        rr = S._jit_residual(ee, ctx.s, levels[0].arrays)
+        return ee, rr
+
     # Warm.
-    ee = S.run_one_cycle(ctx.e, ctx.s, levels, conf)
+    rr = S._jit_residual(ctx.e, ctx.s, levels[0].arrays)
+    ee, rr = one_cycle(ctx.e, rr)
     fetch_scalar(ee)
     t0 = time.perf_counter()
     fetch_scalar(ee)
@@ -78,7 +101,7 @@ def main():
     t0 = time.perf_counter()
     ee = ctx.e
     for _ in range(reps):
-        ee = S.run_one_cycle(ee, ctx.s, levels, conf)
+        ee, rr = one_cycle(ee, rr)
     fetch_scalar(ee)
     t_cycle = (time.perf_counter() - t0 - t_fetch) / reps
 

@@ -234,7 +234,7 @@ def slab_residual(e, s, st, w, ih):
     return rx, ry, rz
 
 
-def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
+def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz, single_y=False):
     """One (color-step, x-tile, y-tile) unit of the fused smoother.
 
     refs layout: HBM inputs [estack (6,·), sstack (6,·), pstack (9,·),
@@ -274,9 +274,18 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     own_lo = 1 + xtile * tx
     own_hi = jnp.minimum(own_lo + tx, nx)
     x0 = jnp.minimum(own_lo - 1, (nx + 2) - XL)
-    oy_lo = 1 + ytile * ty
-    oy_hi = jnp.minimum(oy_lo + ty, ny)
-    y0 = ytile * ty
+    if single_y:
+        # One y tile: fold the slab offset to a LITERAL zero.  With a
+        # dynamic ytile*ty Mosaic must prove 8-divisibility of the
+        # sublane offset, which fails for bf16-stream buffers at
+        # full-y levels where ty = ny is not a multiple of 8.
+        oy_lo = 1
+        oy_hi = ny
+        y0 = 0
+    else:
+        oy_lo = 1 + ytile * ty
+        oy_hi = jnp.minimum(oy_lo + ty, ny)
+        y0 = ytile * ty
 
     # The electric field is read from the OUTPUT ref (it aliases the
     # input): grid steps must see the previous steps' writes.
@@ -300,18 +309,25 @@ def _kernel(colors_ref, *refs, tx, tyl, ty, nx, nyz):
     def E(i):
         return cx.C2(es[i], es[i + 1])
 
+    def _up(v):
+        # s/p stacks may be streamed bfloat16 (half the dominant HBM
+        # bytes; only valid when the smoother works on a correction
+        # system — the solver gates it): upcast at use so the node
+        # algebra stays in the e dtype.
+        return v if v.dtype == es.dtype else v.astype(es.dtype)
+
     def S(i):
-        return cx.C2(ss[i], ss[i + 1])
+        return cx.C2(_up(ss[i]), _up(ss[i + 1]))
 
     def P(i):
-        return cx.C2(ps[i], ps[i + 1])
+        return cx.C2(_up(ps[i]), _up(ps[i + 1]))
 
     ex, ey, ez = E(0), E(2), E(4)
     sx, sy, sz = S(0), S(2), S(4)
     stx, sty, stz = P(0), P(2), P(4)
-    wx = ps[6]
-    wy = ps[7]
-    wz = ps[8]
+    wx = _up(ps[6])
+    wy = _up(ps[7])
+    wz = _up(ps[8])
     ihx = ihxs[:]              # (XL, 1, Zp), x-varying, lane-replicated
     ihy = ihys[:]              # (1, tyl, Zp), y-varying slab
     ihz = ihz_r[:]             # (1, 1, Zp)
@@ -413,8 +429,8 @@ def _padC(a, r0, j0, k0, dims, dt):
 
 
 @functools.partial(jax.jit, static_argnames=('shape', 'min_yp',
-                                              'min_zp'))
-def pack_params(arrays, shape, min_yp=0, min_zp=0):
+                                              'min_zp', 'pdtype'))
+def pack_params(arrays, shape, min_yp=0, min_zp=0, pdtype=None):
     """Field-independent kernel parameters in the padded layout.
 
     Returns (pstack (9,·), ihx, ihy, ihz); pstack planes: [stxr, stxi,
@@ -422,10 +438,16 @@ def pack_params(arrays, shape, min_yp=0, min_zp=0):
     the model/grid only, so the solver caches the result per level and
     every smoothing call of the solve reuses it (the per-call XLA work
     shrinks to padding the 6+6 field/source planes).
+
+    ``pdtype`` selects the pstack STORAGE dtype (bfloat16 halves the
+    kernel's parameter streaming; valid only when the smoother works
+    on a correction system — see the solver's bf16 gating).  The 1/h
+    arrays always stay at the model dtype (tiny).
     """
     nx, ny, nz = shape
     eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
     dt = cx.real_dtype_of(eta_x)
+    pdt = dt if pdtype is None else pdtype
     Yp, Zp, NXP = padded_dims(shape, min_yp, min_zp)
     dims = (Yp, Zp, NXP)
 
@@ -433,10 +455,11 @@ def pack_params(arrays, shape, min_yp=0, min_zp=0):
     wx_, wy_, wz_ = stencil.zeta_face_weights(zeta)
 
     pstack = jnp.stack([
-        *_padC(stx_, 0, 1, 1, dims, dt), *_padC(sty_, 1, 0, 1, dims, dt),
-        *_padC(stz_, 1, 1, 0, dims, dt),
-        _pad3(wx_, 0, 0, 0, dims, dt), _pad3(wy_, 0, 0, 0, dims, dt),
-        _pad3(wz_, 0, 0, 0, dims, dt),
+        *_padC(stx_, 0, 1, 1, dims, pdt),
+        *_padC(sty_, 1, 0, 1, dims, pdt),
+        *_padC(stz_, 1, 1, 0, dims, pdt),
+        _pad3(wx_, 0, 0, 0, dims, pdt), _pad3(wy_, 0, 0, 0, dims, pdt),
+        _pad3(wz_, 0, 0, 0, dims, pdt),
     ])
     ihx_p = jnp.zeros((NXP, 1, Zp), dt).at[:nx, 0, :].set(
         jnp.broadcast_to((1.0 / hx.astype(dt))[:, None], (nx, Zp)))
@@ -449,17 +472,25 @@ def pack_params(arrays, shape, min_yp=0, min_zp=0):
     return pstack, ihx_p, ihy_p, ihz_p
 
 
-def pack_fields(e, s, shape, min_yp=0, min_zp=0):
-    """(estack (6,·), sstack (6,·)) of the padded layout."""
+def pack_fields(e, s, shape, min_yp=0, min_zp=0, sdtype=None):
+    """(estack (6,·), sstack (6,·)) of the padded layout.
+
+    ``sdtype`` selects the sstack storage dtype (bfloat16 when the rhs
+    is a correction-system residual — see pack_params); the e stack
+    always keeps the field dtype (it carries the accumulating
+    solution).
+    """
     dt = e[0].re.dtype
+    sdt = dt if sdtype is None else sdtype
     dims = padded_dims(shape, min_yp, min_zp)
     estack = jnp.stack([
         *_padC(e[0], 0, 0, 0, dims, dt), *_padC(e[1], 0, 0, 0, dims, dt),
         *_padC(e[2], 0, 0, 0, dims, dt),
     ])
     sstack = jnp.stack([
-        *_padC(s[0], 0, 0, 0, dims, dt), *_padC(s[1], 0, 0, 0, dims, dt),
-        *_padC(s[2], 0, 0, 0, dims, dt),
+        *_padC(s[0], 0, 0, 0, dims, sdt),
+        *_padC(s[1], 0, 0, 0, dims, sdt),
+        *_padC(s[2], 0, 0, 0, dims, sdt),
     ])
     return estack, sstack
 
@@ -626,19 +657,20 @@ def point_probe(shape, dt=jnp.float32, risk_fraction=0.25):
     return False
 
 
-def point_params(arrays, shape):
+def point_params(arrays, shape, pdtype=None):
     """Cached-parameter entry point: the (9,·) stack + ih arrays laid
     out for :func:`gauss_seidel_point_pallas`'s default tiling."""
     min_yp = point_layout(shape)[5]
-    return pack_params(tuple(arrays), shape, min_yp=min_yp)
+    return pack_params(tuple(arrays), shape, min_yp=min_yp,
+                       pdtype=pdtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_seq',
-                                    '_tx', '_tyl'))
+                                    '_tx', '_tyl', '_sp_dt'))
 def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
                               interpret=False, _seq=None, _tx=None,
-                              _tyl=None):
+                              _tyl=None, _sp_dt=None):
     """nu sweeps of 8-color node-block GS as one fused Pallas call.
 
     e, s : tuples of cx.C2 field components (split re/im, float32).
@@ -646,10 +678,15 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
     shape : static cell shape (nx, ny, nz).
     params : optional result of :func:`point_params` (field-independent
         stacks, cached per level by the solver); rebuilt inline when
-        absent or laid out for a different tiling.
+        absent or laid out for a different tiling/dtype.
+    _sp_dt : storage dtype for the s/p streams (bfloat16 halves the
+        dominant HBM bytes; ONLY valid when this smoother works on a
+        correction system, where the update bias cannot shift the
+        outer fixed point — the solver gates it).
     """
     nx, ny, nz = shape
     dt = e[0].re.dtype
+    spdt = dt if _sp_dt is None else _sp_dt
 
     # Color sequence with per-sweep order reversal.
     if _seq is not None:
@@ -667,18 +704,20 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
     XL = tx + 3
 
     Yp, Zp, NXP = padded_dims(shape, min_yp)
-    if params is not None and params[0].shape == (9, NXP, Yp, Zp):
+    if params is not None and params[0].shape == (9, NXP, Yp, Zp) \
+            and params[0].dtype == spdt:
         pstack, ihx_p, ihy_p, ihz_p = params
     else:
         pstack, ihx_p, ihy_p, ihz_p = pack_params(
-            tuple(arrays), shape, min_yp=min_yp)
-    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp)
+            tuple(arrays), shape, min_yp=min_yp, pdtype=_sp_dt)
+    estack, sstack = pack_fields(e, s, shape, min_yp=min_yp,
+                                 sdtype=_sp_dt)
     tyl = min(tyl, Yp)
 
     scratch_shapes = [
         pltpu.VMEM((6, XL, tyl, Zp), dt),    # e slab stack
-        pltpu.VMEM((6, XL, tyl, Zp), dt),    # s slab stack
-        pltpu.VMEM((9, XL, tyl, Zp), dt),    # parameter slab stack
+        pltpu.VMEM((6, XL, tyl, Zp), spdt),  # s slab stack
+        pltpu.VMEM((9, XL, tyl, Zp), spdt),  # parameter slab stack
         pltpu.VMEM((XL, 1, Zp), dt),         # ihx slab
         pltpu.VMEM((1, tyl, Zp), dt),        # ihy slab
         pltpu.SemaphoreType.DMA((5,)),
@@ -694,7 +733,7 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
     )
 
     kernel = functools.partial(_kernel, tx=tx, tyl=tyl, ty=ty, nx=nx,
-                               nyz=(ny, nz))
+                               nyz=(ny, nz), single_y=n_ytiles == 1)
 
     out = pl.pallas_call(
         kernel,

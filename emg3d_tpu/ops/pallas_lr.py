@@ -352,9 +352,9 @@ def factors_nbytes(shape, axis, itemsize=4):
 
 @functools.partial(jax.jit,
                    static_argnames=('shape', 'axis', 'min_yp',
-                                    'min_zp', 'fdtype'))
+                                    'min_zp', 'fdtype', 'zsplit'))
 def line_factors(arrays, shape, axis, min_yp=None, min_zp=None,
-                 fdtype=None):
+                 fdtype=None, zsplit=None):
     """Padded factor stack (S, 46, Yp, Zp) for lines along ``axis``.
 
     ``fdtype`` selects the STORAGE dtype of the stack (default: the
@@ -376,6 +376,14 @@ def line_factors(arrays, shape, axis, min_yp=None, min_zp=None,
     factor_entries) — the dense (..., 5, 5) builder peaked at 22 GB of
     HLO temporaries at 256³ and OOMed the chip; the entry stacks come
     back exactly in the kernel's _LORD/dinv order.
+
+    ``zsplit`` builds the stack in that many transverse-z chunks (the
+    per-line eliminations are independent): at 256³ the one-shot build
+    holds ~3 GB of coefficient/entry temporaries on top of the output
+    next to a live Krylov working set — chunking divides the transient
+    by the chunk count at identical results.  Defaults to 1 below
+    ~2.7M lines per station (nothing changes for the proven ≤128³
+    classes), then doubles with the transverse size.
     """
     from .smoothers import _line_entries_x
 
@@ -386,32 +394,60 @@ def line_factors(arrays, shape, axis, min_yp=None, min_zp=None,
         shape = (shape[2], shape[0], shape[1])
 
     nx, ny, nz = shape
-    c = node_coefficients(*arrays)
-    Dent, Bent = _line_entries_x(c, nx)
-    L_all, d_all = block_tridiag_factor_entries(5, Dent, Bent)
-
     if min_yp is None or min_zp is None:
         lay = line_layout(shape)
         min_yp = lay[6] if min_yp is None else min_yp
         min_zp = lay[10] if min_zp is None else min_zp
     Yp, Zp, _ = padded_dims(shape, min_yp, min_zp)
     dt = cx.real_dtype_of(arrays[0]) if fdtype is None else fdtype
+    if zsplit is None:
+        zsplit = -(-(ny * nz) // (128 * 128))
+    zsplit = max(1, min(int(zsplit), nz - 1))
 
-    def pad(a):
-        return jnp.zeros((nx, Yp, Zp), dt).at[
-            :, 1:ny, 1:nz].set(a.astype(dt))
+    def chunk_planes(ars):
+        """All 46 factor planes for a cell slab (lines = interior)."""
+        cc = node_coefficients(*ars)
+        Dent, Bent = _line_entries_x(cc, nx)
+        L_all, d_all = block_tridiag_factor_entries(5, Dent, Bent)
+        planes = []
+        for v in L_all:                 # _lower_keys(5) == _LORD order
+            re, im = _ri(v)
+            planes += [re.astype(dt), im.astype(dt)]
+        for v in d_all:
+            re, im = _ri(v)
+            planes += [re.astype(dt), im.astype(dt)]
+        for k in sorted(Bent.keys()):   # == _BORD order
+            re, im = _ri(Bent[k])
+            planes += [re.astype(dt), im.astype(dt)]
+        return jnp.stack(planes, axis=1)    # (nx, 46, ny-1, lines)
 
-    planes = []
-    for v in L_all:                     # _lower_keys(5) == _LORD order
-        re, im = _ri(v)
-        planes += [pad(re), pad(im)]
-    for v in d_all:
-        re, im = _ri(v)
-        planes += [pad(re), pad(im)]
-    for k in sorted(Bent.keys()):       # == _BORD order
-        re, im = _ri(Bent[k])
-        planes += [pad(re), pad(im)]
-    return jnp.stack(planes, axis=1)    # (nx, 46, Yp, Zp)
+    if zsplit <= 1:
+        out = chunk_planes(arrays)          # (nx, 46, ny-1, nz-1)
+        return jnp.zeros((nx, _NF, Yp, Zp), dt).at[
+            :, :, 1:ny, 1:nz].set(out)
+
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = arrays
+    out = jnp.zeros((nx, _NF, Yp, Zp), dt)
+    # Global interior lines k in [1, nz) in zsplit chunks.  A line at
+    # k owns ez at k-1 and k, whose stencil nodes span z in [k-1, k+1]
+    # and therefore cells [k-2, k+1) -> two cells of low halo and one
+    # of high halo per chunk (clipped at the domain, where the global
+    # build's implicit boundary applies identically).
+    bounds = np.linspace(1, nz, zsplit + 1).astype(int)
+    for ci in range(zsplit):
+        ka, kb = int(bounds[ci]), int(bounds[ci + 1])
+        if kb <= ka:
+            continue
+        za = max(0, ka - 2)
+        zb = min(nz, kb + 1)
+        zs = slice(za, zb)
+        ars = (eta_x[..., zs], eta_y[..., zs], eta_z[..., zs],
+               zeta[..., zs], hx, hy, hz[zs])
+        # Local line l sits between local cells l-1, l (global za+l):
+        # global lines [ka, kb) live at entry indices [ka-za-1, kb-za-1).
+        pl_ = chunk_planes(ars)[..., ka - za - 1:kb - za - 1]
+        out = out.at[:, :, 1:ny, ka:kb].set(pl_)
+    return out
 
 
 # ----------------------------------------------------------------------
@@ -499,15 +535,21 @@ def _kernel_res(*refs, tx, nx, ny, tyl=None, toy=None):
     def E(i):
         return cx.C2(es[i], es[i + 1])
 
+    def _up(v):
+        # s/p streams may be stored bfloat16 (see pallas_gs._kernel):
+        # upcast at use so the residual algebra stays in the e dtype.
+        return v if v.dtype == es.dtype else v.astype(es.dtype)
+
     def S(i):
-        return cx.C2(ss[i], ss[i + 1])
+        return cx.C2(_up(ss[i]), _up(ss[i + 1]))
 
     def P(i):
-        return cx.C2(ps[i], ps[i + 1])
+        return cx.C2(_up(ps[i]), _up(ps[i + 1]))
 
     rx, ry, rz = slab_residual(
         (E(0), E(2), E(4)), (S(0), S(2), S(4)), (P(0), P(2), P(4)),
-        (ps[6], ps[7], ps[8]), (ihxs[:], ihys[:], ihz_r[:]))
+        (_up(ps[6]), _up(ps[7]), _up(ps[8])),
+        (ihxs[:], ihys[:], ihz_r[:]))
 
     sh = rx.re.shape
     gx = x0 + jax.lax.broadcasted_iota(jnp.int32, sh, 0)
@@ -755,13 +797,19 @@ def _kernel_thomas(color_ref, *refs, nx, nyz, ty, to, chx, nch,
 @functools.partial(jax.jit,
                    static_argnames=('nu', 'shape', 'interpret', '_tx',
                                     '_ty', '_chx', '_tz', '_tyr',
-                                    '_fdt'))
+                                    '_fdt', '_sp_dt'))
 def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
                       interpret=False, _tx=None, _ty=None, _chx=None,
-                      _tz=None, _tyr=None, _fdt=None):
-    """nu sweeps of 4-color x-line relaxation as fused Pallas steps."""
+                      _tz=None, _tyr=None, _fdt=None, _sp_dt=None):
+    """nu sweeps of 4-color x-line relaxation as fused Pallas steps.
+
+    ``_sp_dt`` stores the s/params streams of the residual kernel in a
+    reduced dtype (bfloat16; solver-gated to correction-form rhs —
+    see pallas_gs.gauss_seidel_point_pallas).
+    """
     nx, ny, nz = shape
     dt = e[0].re.dtype
+    spdt = dt if _sp_dt is None else _sp_dt
 
     # Tile sizes: residual x-slabs like the point kernel (y-tiled too
     # for 256³-class planes); Thomas y-slabs of ``to`` owned lines
@@ -776,13 +824,15 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
     nch = -(-nx // chx)
 
     Yp, Zp, NXP = padded_dims(shape, min_yp, min_zp)
-    if params is not None and params[0].shape == (9, NXP, Yp, Zp):
+    if params is not None and params[0].shape == (9, NXP, Yp, Zp) \
+            and params[0].dtype == spdt:
         pstack, ihx_p, ihy_p, ihz_p = params
     else:
         pstack, ihx_p, ihy_p, ihz_p = pack_params(
-            tuple(arrays), shape, min_yp=min_yp, min_zp=min_zp)
+            tuple(arrays), shape, min_yp=min_yp, min_zp=min_zp,
+            pdtype=_sp_dt)
     estack, sstack = pack_fields(e, s, shape, min_yp=min_yp,
-                                 min_zp=min_zp)
+                                 min_zp=min_zp, sdtype=_sp_dt)
     if fstack is None or fstack.shape != (nx, _NF, Yp, Zp):
         fstack = line_factors(arrays, shape, 0, min_yp=min_yp,
                               min_zp=min_zp, fdtype=_fdt)
@@ -804,8 +854,8 @@ def _gs_line_x_pallas(e, s, arrays, fstack, nu, shape, params=None,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         scratch_shapes=[
             pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
-            pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
-            pltpu.VMEM((9, tx + 2, tyl, Zp), dt),
+            pltpu.VMEM((6, tx + 2, tyl, Zp), spdt),
+            pltpu.VMEM((9, tx + 2, tyl, Zp), spdt),
             pltpu.VMEM((tx + 2, 1, Zp), dt),
             pltpu.VMEM((1, tyl, Zp), dt),
             pltpu.VMEM((6, tx + 2, tyl, Zp), dt),
@@ -881,14 +931,14 @@ rotate_arrays_jit = functools.partial(jax.jit, static_argnames='axis')(
     rotate_arrays)
 
 
-def line_params(arrays_rot, shape, axis):
+def line_params(arrays_rot, shape, axis, pdtype=None):
     """Field-independent residual-kernel stacks in ``axis``'s rotated
     frame (cached per (level, axis) by the solver alongside the factor
     stack; ``arrays_rot`` is :func:`rotate_arrays`' result)."""
     rs = (shape[axis], shape[(axis + 1) % 3], shape[(axis + 2) % 3])
     lay = line_layout(rs)
     return pack_params(tuple(arrays_rot), rs,
-                       min_yp=lay[6], min_zp=lay[10])
+                       min_yp=lay[6], min_zp=lay[10], pdtype=pdtype)
 
 
 def line_relaxation_pallas(e, s, arrays, nu, shape, axis, fstack=None,

@@ -458,7 +458,7 @@ def build_levels(grid, vmodel, sc_dir, clevel, dtype, split=False):
 # ======================================================================
 
 def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
-            fstacks=None, mesh=None, pparams=None):
+            fstacks=None, mesh=None, pparams=None, spdt=None):
     """Smoothing dispatch (reference parity: solver.py:738-799).
 
     ``fstacks`` is an optional 3-tuple of precomputed line-factor
@@ -471,6 +471,12 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
     unsharded axes — through the explicit shard_map halo pipeline
     (parallel/shmap.py) when the level is distributed over a ('y',),
     ('z',) or ('y', 'z') device mesh.
+
+    ``spdt`` stores the Pallas kernels' s/params streams in a reduced
+    dtype (bfloat16 halves their HBM traffic).  Callers may set it
+    ONLY when the smoother works on a correction system (rhs = an
+    exactly-evaluated outer residual): the O(2⁻⁸) update bias then
+    cannot shift the outer fixed point.  The XLA fallbacks ignore it.
     """
     if nu <= 0:
         return e
@@ -486,7 +492,7 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
         if pallas_ok and pallas_gs.enabled() and pallas_gs.supported(e):
             return pallas_gs.gauss_seidel_point_pallas(
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
-                params=pparams)
+                params=pparams, _sp_dt=spdt)
         return smoothers.gauss_seidel_point(*e, *s, *arrays, nu=nu)
     for ax in _lr_axes(lr):
         if mesh is not None:
@@ -509,7 +515,7 @@ def _smooth(e, s, arrays, nu, lr_dir, shape, pallas_ok=True,
                 tuple(e), tuple(s), tuple(arrays), nu=nu, shape=shape,
                 axis=ax, fstack=None if inline else fs,
                 arrays_rot=rot, params=pp,
-                _fdt=jnp.bfloat16 if inline else None)
+                _fdt=jnp.bfloat16 if inline else None, _sp_dt=spdt)
         else:
             e = smoothers.line_relaxation(*e, *s, *arrays, nu=nu,
                                           axis=ax)
@@ -535,7 +541,7 @@ def _arrays_in_axes(arrays):
 
 
 def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
-            is_top=False, pallas_ok=True):
+            is_top=False, pallas_ok=True, spdt=None):
     """Recursive (trace-time unrolled) multigrid body.
 
     Mirrors the reference's recursion (solver.py:478-604) including the
@@ -551,7 +557,7 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
     if lvl == nlevels - 1:
         # Coarsest grid: nu_coarse smoothing steps act as direct solve.
         return _smooth(e, s, arrays, nu_coarse, lr_dir, shape,
-                       pallas_ok=pallas_ok)
+                       pallas_ok=pallas_ok, spdt=spdt)
 
     if is_top:
         cycmax_here = cycmax
@@ -563,7 +569,7 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
     it = 0
     while it < cycmax_here:
         e = _smooth(e, s, arrays, nu_pre, lr_dir, shape,
-                    pallas_ok=pallas_ok)
+                    pallas_ok=pallas_ok, spdt=spdt)
 
         r = _residual_e(e, s, arrays)
         coarsen = static[lvl][1]
@@ -576,13 +582,14 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
 
         ec = _mg_rec(ec, rc, levels_arrays, static, lvl + 1,
                      2 if cycle in ['F', 'W'] else 1,
-                     cycmax_here - it, conf, pallas_ok=pallas_ok)
+                     cycmax_here - it, conf, pallas_ok=pallas_ok,
+                     spdt=spdt)
 
         e = transfers.prolongate(*e, *ec, pweights, coarsen)
         e = stencil.pec_mask_apply(*e)
 
         e = _smooth(e, s, arrays, nu_post, lr_dir, shape,
-                    pallas_ok=pallas_ok)
+                    pallas_ok=pallas_ok, spdt=spdt)
 
         it += 1
         if is_top:
@@ -633,7 +640,7 @@ _FSTACK_EVICT_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_EVICT',
                                          8_000_000_000))
 
 
-def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
+def _level_fstacks(lev, lr_dir, mesh=None, batch=False, spdt=None):
     """Line-factor stacks for the Pallas path (None when inapplicable).
 
     Lazily computed once per (level, axis) and cached on the level —
@@ -659,18 +666,20 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
     meter = lev.cache_meter if lev.cache_meter is not None \
         else {'bytes': 0}
     for ax in axes:
-        if ax not in lev.fstacks:
+        key = (ax, None if spdt is None else str(spdt))
+        if key not in lev.fstacks:
             nbytes = pallas_lr.factors_nbytes(lev.shape, ax)
             if nbytes <= _FSTACK_CACHE_BYTES:
                 fs = pallas_lr.line_factors(lev.arrays, lev.shape, ax)
                 # Rotated-frame parameters are field-independent too:
                 # cache them so y/z-line calls only transpose the
                 # (changing) fields — including the packed residual-
-                # kernel st/w stacks.
+                # kernel st/w stacks (in the smoother stream dtype).
                 rot = None if ax == 0 else \
                     pallas_lr.rotate_arrays_jit(lev.arrays, axis=ax)
                 pp = pallas_lr.line_params(
-                    lev.arrays if rot is None else rot, lev.shape, ax)
+                    lev.arrays if rot is None else rot, lev.shape, ax,
+                    pdtype=spdt)
             else:
                 # Big stack (256³ class): evict axes outside this
                 # cycle's pair (the (4,5,6) rotation shares one axis
@@ -683,7 +692,7 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
                     # Only big (metered) stacks are evicted: a bf16
                     # stack of a > _FSTACK_CACHE_BYTES f32 stack has
                     # nbytes > _FSTACK_CACHE_BYTES // 2.
-                    if other not in axes and ofs is not None and \
+                    if other[0] not in axes and ofs is not None and \
                             not isinstance(ofs, tuple) and \
                             ofs.nbytes > _FSTACK_CACHE_BYTES // 2:
                         meter['bytes'] -= ofs.nbytes
@@ -695,13 +704,13 @@ def _level_fstacks(lev, lr_dir, mesh=None, batch=False):
                 else:
                     fs = ()
                 rot, pp = None, None
-            lev.fstacks[ax] = (fs, rot, pp)
-        out[ax] = lev.fstacks[ax]
+            lev.fstacks[key] = (fs, rot, pp)
+        out[ax] = lev.fstacks[key]
         any_ax = True
     return tuple(out) if any_ax else None
 
 
-def _level_pparams(lev, lr_dir, mesh=None, batch=False):
+def _level_pparams(lev, lr_dir, mesh=None, batch=False, pdt=None):
     """Cached point-kernel parameter stacks (None when inapplicable).
 
     The (9,·) st/w stack + 1/h arrays of the fused point smoother are
@@ -723,14 +732,19 @@ def _level_pparams(lev, lr_dir, mesh=None, batch=False):
             and pallas_gs.point_probe(lev.shape)):
         return None
     if lev.pparams is None:
-        lev.pparams = pallas_gs.point_params(lev.arrays, lev.shape)
-    return lev.pparams
+        lev.pparams = {}
+    pkey = None if pdt is None else str(pdt)
+    if pkey not in lev.pparams:
+        lev.pparams[pkey] = pallas_gs.point_params(lev.arrays,
+                                                   lev.shape, pdtype=pdt)
+    return lev.pparams[pkey]
 
 
 @_partial(jax.jit,
-          static_argnames=('nu', 'lr_dir', 'shape', 'mesh', 'batch'))
+          static_argnames=('nu', 'lr_dir', 'shape', 'mesh', 'batch',
+                           'spdt'))
 def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
-                batch=False, fstacks=None, pparams=None):
+                batch=False, fstacks=None, pparams=None, spdt=None):
     if batch:
         return jax.vmap(
             lambda e_, s_, ar: _smooth(e_, s_, ar, nu, lr_dir, shape,
@@ -740,15 +754,15 @@ def _smooth_jit(e, s, arrays, nu, lr_dir, shape, mesh=None,
     s = _constrain(s, mesh)
     return _smooth(e, s, arrays, nu, lr_dir, shape,
                    pallas_ok=mesh is None, fstacks=fstacks, mesh=mesh,
-                   pparams=pparams)
+                   pparams=pparams, spdt=spdt)
 
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_pre', 'lr_dir', 'shape',
-                           'mesh', 'batch'))
+                           'mesh', 'batch', 'spdt'))
 def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
                        shape, mesh=None, batch=False, fstacks=None,
-                       pparams=None):
+                       pparams=None, spdt=None):
     """Pre-smooth -> residual -> restrict -> PEC -> zero coarse field.
 
     Returns (e, rc, ec) in one dispatch (B.1 + B.2 of the reference's
@@ -757,7 +771,7 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
     def body(e_, s_, pallas_ok=True, mesh_=None, ar=arrays):
         e_ = _smooth(e_, s_, ar, nu_pre, lr_dir, shape,
                      pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_,
-                     pparams=pparams)
+                     pparams=pparams, spdt=spdt)
         r = _residual_e(e_, s_, ar)
         rc = transfers.restrict(*r, rweights, coarsen)
         rc = stencil.pec_mask_apply(*rc)
@@ -775,17 +789,17 @@ def _smooth_coarse_jit(e, s, arrays, rweights, coarsen, nu_pre, lr_dir,
 
 @_partial(jax.jit,
           static_argnames=('coarsen', 'nu_post', 'lr_dir', 'shape',
-                           'mesh', 'batch'))
+                           'mesh', 'batch', 'spdt'))
 def _prolong_smooth_jit(e, ec, pweights, coarsen, s, arrays, nu_post,
                         lr_dir, shape, mesh=None, batch=False,
-                        fstacks=None, pparams=None):
+                        fstacks=None, pparams=None, spdt=None):
     """Prolongate + PEC + post-smooth in one dispatch (B.4 + B.5)."""
     def body(e_, ec_, s_, pallas_ok=True, mesh_=None, ar=arrays):
         e_ = transfers.prolongate(*e_, *ec_, pweights, coarsen)
         e_ = stencil.pec_mask_apply(*e_)
         return _smooth(e_, s_, ar, nu_post, lr_dir, shape,
                        pallas_ok=pallas_ok, fstacks=fstacks, mesh=mesh_,
-                       pparams=pparams)
+                       pparams=pparams, spdt=spdt)
 
     if batch:
         return jax.vmap(
@@ -806,13 +820,14 @@ _FUSE_CELLS = int(os.environ.get('EMG3D_TPU_FUSE_CELLS', 40000))
 _TAIL_CACHE = {}
 
 
-def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False):
+def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False,
+                 spdt=None):
     """Fused jit of the multigrid sub-tree from ``lvl`` downwards."""
     sub = levels[lvl:]
     static = tuple((lv.shape, lv.coarsen, None,
                     _freeze(lv.rweights), _freeze(lv.pweights))
                    for lv in sub)
-    key = (static, cycmax, new_cycmax, conf, batch)
+    key = (static, cycmax, new_cycmax, conf, batch, spdt)
     if key in _TAIL_CACHE:
         return _TAIL_CACHE[key]
 
@@ -824,7 +839,8 @@ def _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf, batch=False):
         def body(e_, s_, pallas_ok=True, ar=None):
             return _mg_rec(e_, s_, ar if ar is not None else arrays,
                            st, 0, cycmax, new_cycmax, conf,
-                           is_top=False, pallas_ok=pallas_ok)
+                           is_top=False, pallas_ok=pallas_ok,
+                           spdt=spdt)
 
         if batch:
             spec = tuple(_arrays_in_axes(a) for a in arrays)
@@ -865,7 +881,7 @@ def _gs_info(it, level, cycmax, shape, norm):
 
 
 def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
-                 sharding=None, batch=False, dbg=None):
+                 sharding=None, batch=False, dbg=None, spdt=None):
     """Host-driven multigrid recursion over jitted pieces.
 
     Identical control flow to the reference's recursion
@@ -891,8 +907,11 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
     if lvl == nlevels - 1:
         e = _smooth_jit(e, s, lev.arrays, nu_coarse, lr_dir,
                         lev.shape, mesh=mesh, batch=batch,
-                        fstacks=_level_fstacks(lev, lr_dir, mesh, batch),
-                        pparams=_level_pparams(lev, lr_dir, mesh, batch))
+                        fstacks=_level_fstacks(lev, lr_dir, mesh, batch,
+                                               spdt=spdt),
+                        pparams=_level_pparams(lev, lr_dir, mesh, batch,
+                                               pdt=spdt),
+                        spdt=spdt)
         report(0, 1, "coarsest level")
         return e
 
@@ -908,7 +927,7 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
                             pallas_gs.supported_shape(lv.shape):
                         pallas_gs.point_probe(lv.shape)
         fn = _get_tail_fn(levels, lvl, cycmax, new_cycmax, conf,
-                          batch=batch)
+                          batch=batch, spdt=spdt)
         arrays = tuple(lv.arrays for lv in levels[lvl:])
         weights = tuple((lv.rweights, lv.pweights)
                         for lv in levels[lvl:])
@@ -922,25 +941,25 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
         cycmax_here = new_cycmax
 
     it = 0
-    fstacks = _level_fstacks(lev, lr_dir, mesh, batch)
-    pparams = _level_pparams(lev, lr_dir, mesh, batch)
+    fstacks = _level_fstacks(lev, lr_dir, mesh, batch, spdt=spdt)
+    pparams = _level_pparams(lev, lr_dir, mesh, batch, pdt=spdt)
     while it < cycmax_here:
         e, rc, ec = _smooth_coarse_jit(
             e, s, lev.arrays, lev.rweights, lev.coarsen, nu_pre,
             lr_dir, lev.shape, mesh=mesh, batch=batch, fstacks=fstacks,
-            pparams=pparams)
+            pparams=pparams, spdt=spdt)
         if nu_pre > 0:
             report(it, cycmax_here, "pre-smoothing")
 
         ec = _mg_rec_host(ec, rc, levels, lvl + 1,
                           2 if cycle in ['F', 'W'] else 1,
                           cycmax_here - it, conf, sharding=sharding,
-                          batch=batch, dbg=dbg)
+                          batch=batch, dbg=dbg, spdt=spdt)
 
         e = _prolong_smooth_jit(e, ec, lev.pweights, lev.coarsen, s,
                                 lev.arrays, nu_post, lr_dir, lev.shape,
                                 mesh=mesh, batch=batch, fstacks=fstacks,
-                                pparams=pparams)
+                                pparams=pparams, spdt=spdt)
         if nu_post > 0:
             report(it, cycmax_here, "post-smoothing")
 
@@ -951,7 +970,7 @@ def _mg_rec_host(e, s, levels, lvl, cycmax, new_cycmax, conf,
 
 
 def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
-                  batch=False, dbg=None):
+                  batch=False, dbg=None, spdt=None):
     """One top-level MG cycle (host-driven, piecewise-jitted).
 
     With ``batch=True`` the field pytrees carry a leading source-batch
@@ -973,7 +992,8 @@ def run_one_cycle(e, s, levels, conf, nu_init=0, sharding=None,
                        + "initial smoothing", 4)
     return _mg_rec_host(e, s, levels, 0,
                         2 if conf[3] in ['F', 'W'] else 1, 0, conf,
-                        sharding=sharding, batch=batch, dbg=dbg)
+                        sharding=sharding, batch=batch, dbg=dbg,
+                        spdt=spdt)
 
 
 _CYCLE_CACHE = {}
@@ -1235,6 +1255,26 @@ def _ds_wanted(e, var):
             and float(var.tol) < 2e-5)
 
 
+def _smooth_spdt(e):
+    """s/params stream dtype for CORRECTION-FORM smoothing.
+
+    bfloat16 halves the Pallas smoothers' dominant HBM traffic; valid
+    only when the smoothed system's rhs is an exactly-evaluated outer
+    residual (then the O(2⁻⁸) update bias cannot shift the outer
+    fixed point — the smoother only needs to contract).  f32 fields
+    on the TPU path only; EMG3D_TPU_BF16_SMOOTH=0 disables.
+    """
+    if os.environ.get('EMG3D_TPU_BF16_SMOOTH', '1') in ('0', 'false',
+                                                        'False'):
+        return None
+    try:
+        if cx.real_dtype_of(e[0]) != jnp.float32:
+            return None
+    except Exception:
+        return None
+    return jnp.bfloat16
+
+
 def multigrid(ctx, var, e=None, s=None, track=True):
     """Run MG cycles with the reference's termination logic.
 
@@ -1281,6 +1321,14 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     rds = None
     ds_tau = max(100.0 * float(var.tol), 1e-5)
     result = (e, None)
+    # Standalone f32 solves run in CORRECTION FORM from the first
+    # cycle (δ = MG(0, r) with r evaluated exactly outside): identical
+    # iteration mathematically, but it licenses bfloat16 s/params
+    # streaming inside the Pallas smoothers (the cycle's update bias
+    # cannot shift the fixed point of e += δ, r = s − A·e).
+    spdt = _smooth_spdt(e) if standalone else None
+    corr = spdt is not None and var.nu_init == 0
+    r_plain = None
 
     while True:
         # Dispatch cycles (up to `lookahead` in flight, up to maxit).
@@ -1299,10 +1347,22 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                 # Correction form: δ = MG(0, r) + compensated update.
                 zero = tuple(cx.zeros_like(c) for c in e)
                 delta = run_one_cycle(zero, rds, levels, conf,
-                                      sharding=ctx.sharding, dbg=dbg)
+                                      sharding=ctx.sharding, dbg=dbg,
+                                      spdt=spdt)
                 e, elo = _ds_accumulate(e, elo, delta)
                 rds = _ds_residual(e, elo, s, levels[0].arrays)
                 pending.append(((e, elo), _norm(*rds)))
+            elif corr:
+                # Plain-f32 correction form (see above).
+                if r_plain is None:
+                    r_plain = _jit_residual(e, s, levels[0].arrays)
+                zero = tuple(cx.zeros_like(c) for c in e)
+                delta = run_one_cycle(zero, r_plain, levels, conf,
+                                      sharding=ctx.sharding, dbg=dbg,
+                                      spdt=spdt)
+                e = tuple(a + d for a, d in zip(e, delta))
+                r_plain = _jit_residual(e, s, levels[0].arrays)
+                pending.append(((e, None), _norm(*r_plain)))
             else:
                 e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
                                   sharding=ctx.sharding, dbg=dbg)
@@ -2674,13 +2734,20 @@ def _precond_fixed_cycles(ctx, var, r, batch, cycles=None):
 
     (When MG preconditions a Krylov solver, the default maxit equals
     the length of the sc/lr schedule — reference solver.py:1356-1364.)
+
+    A preconditioner application is a correction solve by construction
+    (rhs = a Krylov residual/basis vector, outer fixed point set by
+    the EXACT outer recurrence), so the smoothers may stream their
+    s/params in bfloat16 (_smooth_spdt): the O(2⁻⁸) update bias only
+    perturbs the preconditioner, never the solution.
     """
     e = tuple(cx.zeros_like(c) for c in r)
+    spdt = _smooth_spdt(r)
     for _ in range(var.maxit if cycles is None else cycles):
         conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
                 int(var.lr_dir))
         levels = ctx.levels(int(var.sc_dir))
-        e = run_one_cycle(e, r, levels, conf, batch=batch)
+        e = run_one_cycle(e, r, levels, conf, batch=batch, spdt=spdt)
         var.it += 1
         if var.sc_cycle:
             var.sc_dir = next(var.sc_cycle)

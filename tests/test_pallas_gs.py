@@ -122,3 +122,21 @@ def test_probe_trusts_low_risk_and_caches(monkeypatch):
     assert calls == []
     assert pallas_gs.point_probe((8, 8, 8)) is True   # cached
     assert pallas_gs.supported_shape((8, 8, 8)) is True
+
+
+def test_bf16_sp_streams_close_to_f32():
+    """bfloat16 s/params streaming (correction-form smoothing only)
+    perturbs the update by O(2^-8); the fixed point is untouched
+    because the outer residual stays f32 (solver gating)."""
+    shape = (12, 10, 8)
+    e, s, par = _setup(shape, seed=6)
+    ref = gauss_seidel_point_pallas(e, s, par, nu=2, shape=shape,
+                                    interpret=True)
+    out = gauss_seidel_point_pallas(e, s, par, nu=2, shape=shape,
+                                    interpret=True,
+                                    _sp_dt=jnp.bfloat16)
+    for a, b in zip(ref, out):
+        da = np.asarray(cx.tocomplex(a))
+        db = np.asarray(cx.tocomplex(b))
+        rel = np.linalg.norm(db - da) / max(np.linalg.norm(da), 1e-30)
+        assert rel < 2e-2, rel

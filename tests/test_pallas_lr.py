@@ -84,8 +84,9 @@ def test_solver_dispatches_pallas_line(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(cx.tocomplex(b)), np.asarray(cx.tocomplex(a)),
             atol=2e-5)
-    # Factor stacks are cached on the level.
-    assert 0 in lev.fstacks
+    # Factor stacks are cached on the level (keyed by axis + stream
+    # dtype).
+    assert (0, None) in lev.fstacks
 
     # Rotated axis: the cache also carries pre-rotated parameters.
     fst_y = solver._level_fstacks(lev, lr_dir=2)
@@ -114,7 +115,8 @@ def test_solver_dispatches_pallas_line(monkeypatch):
                 max(np.linalg.norm(da), 1e-30)) < 2e-2
 
     # Over even the bf16 eviction budget: the inline sentinel () and
-    # the dispatch recomputes factors in-jit — same result, no cache.
+    # the dispatch recomputes factors in-jit (stored bf16 — the
+    # sentinel only ever stands for a meter-declined big stack).
     monkeypatch.setattr(solver, '_FSTACK_EVICT_BYTES', 0)
     lev.fstacks.clear()
     fst2 = solver._level_fstacks(lev, lr_dir=1)
@@ -122,9 +124,10 @@ def test_solver_dispatches_pallas_line(monkeypatch):
     out2 = solver._smooth(e, s, lev.arrays, nu=2, lr_dir=1,
                           shape=shape, fstacks=fst2)
     for a, b in zip(out, out2):
-        np.testing.assert_allclose(np.asarray(cx.tocomplex(b)),
-                                   np.asarray(cx.tocomplex(a)),
-                                   atol=1e-6)
+        da = np.asarray(cx.tocomplex(a))
+        db = np.asarray(cx.tocomplex(b))
+        assert (np.linalg.norm(db - da) /
+                max(np.linalg.norm(da), 1e-30)) < 2e-2
 
 
 def test_forced_residual_y_tiling_matches_untiled():
@@ -192,3 +195,37 @@ def test_supported_gate():
     assert supported(e, (12, 8, 8))
     assert not supported(e, (4, 8, 8))
     assert not supported(tuple(cx.tocomplex(c) for c in e), (12, 8, 8))
+
+
+def test_chunked_factor_build_matches_one_shot():
+    """zsplit builds the factor stack in transverse chunks (256^3-class
+    HBM transient control); per-line eliminations are independent, so
+    the result is exact up to XLA fusion reassociation."""
+    import jax.numpy as jnp
+    shape = (8, 10, 24)
+    _, _, par = _setup(shape, seed=5)
+    par64 = tuple(cx.C2(a.re.astype(jnp.float64),
+                        a.im.astype(jnp.float64))
+                  if cx.is_c2(a) else a.astype(jnp.float64)
+                  for a in par)
+    f1 = line_factors(par64, shape, 0, zsplit=1)
+    scale = float(jnp.max(jnp.abs(f1)))
+    for zs in (2, 3, 5):
+        fz = line_factors(par64, shape, 0, zsplit=zs)
+        assert float(jnp.max(jnp.abs(f1 - fz))) / scale < 1e-12
+
+
+def test_bf16_sp_streams_line_close_to_f32():
+    """bfloat16 s/params streaming through the line residual kernel."""
+    import jax.numpy as jnp
+    shape = (12, 8, 8)
+    e, s, par = _setup(shape, seed=8)
+    ref = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True)
+    out = line_relaxation_pallas(e, s, par, nu=2, shape=shape, axis=0,
+                                 interpret=True, _sp_dt=jnp.bfloat16)
+    for a, b in zip(ref, out):
+        da = np.asarray(cx.tocomplex(a))
+        db = np.asarray(cx.tocomplex(b))
+        rel = np.linalg.norm(db - da) / max(np.linalg.norm(da), 1e-30)
+        assert rel < 2e-2, rel
