@@ -1,12 +1,14 @@
-"""CLI driver: load inputs, run the simulation, save outputs.
+"""CLI driver: stage-wise execution of a configured simulation.
 
-Reference parity: /root/reference/emg3d/cli/run.py — forward / misfit /
-gradient branches, data selection, dry-run, dual console/file logging
-with captured warnings, outputs {configuration, data, misfit,
-n_observations, gradient, [simulation]}.
+Capability parity: /root/reference/emg3d/cli/run.py (forward / misfit /
+gradient tasks, data selection, dry-run, console+file logging, output
+dict with configuration/data/misfit/n_observations/gradient and the
+optional stored simulation).  The staging, logging format and helper
+decomposition here are our own.
 """
 import json
 import logging
+import os
 import time
 
 import numpy as np
@@ -17,121 +19,114 @@ from . import parser
 
 __all__ = ['simulation']
 
+_LOG = logging.getLogger('emg3d_tpu')
+
 
 def simulation(args_dict):
-    """Run a CLI-configured simulation."""
-    runtime = utils.Time()
-
+    """Execute one CLI task (forward / misfit / gradient)."""
+    clock = utils.Time()
     cfg, term = parser.parse_config_file(args_dict)
-    check_files(cfg, term)
-    function, verb = term['function'], term['verbosity']
-    dry_run = term.get('dry_run', False)
+    _require_files(cfg)
 
-    logger = initiate_logger(cfg, runtime, verb)
+    task = term['function']
+    dry = bool(term.get('dry_run', False))
+    _wire_logging(cfg['files']['log'], term['verbosity'])
 
-    logger.info(f":: emg3d_tpu CLI {function} START :: "
-                f"{time.asctime()} :: v{__version__}")
+    _LOG.info(f"emg3d_tpu v{__version__} | task={task} | "
+              f"started {time.asctime()}")
+    _LOG.debug("--- resolved configuration (%s) ---\n%s",
+               term['config_file'],
+               json.dumps(cfg, sort_keys=True, indent=4, default=str))
 
-    paramdump = json.dumps(cfg, sort_keys=True, indent=4, default=str)
-    logger.debug("\n    :: CONFIGURATION ::\n")
-    logger.debug(f"{term['config_file']}\n{paramdump}")
+    sim, data_selection = _build_simulation(cfg)
+    _LOG.info("--- simulation ---\n%s\n", sim)
+    _LOG.debug("--- meshes ---\n%s", sim.print_grid_info(return_info=True))
 
-    # Load survey and model.
-    logger.info("\n    :: LOAD SURVEY AND MODEL ::\n")
-    sdata = io.load(cfg['files']['survey'])
-    survey = sdata['survey']
+    results = {'configuration': {'data': data_selection}}
+    _run_task(sim, task, dry, results,
+              min_offset=cfg['simulation_options'].pop('min_offset', 0.0))
+
+    if cfg['files']['store_simulation'] and not dry:
+        results['simulation'] = sim.to_dict(what='computed')
+    _LOG.info("--- writing %s ---", cfg['files']['output'])
+    io.save(cfg['files']['output'], **results)
+
+    _LOG.info(f"emg3d_tpu task={task} finished {time.asctime()} "
+              f"(elapsed {clock.runtime})")
+
+
+def _build_simulation(cfg):
+    """Load survey/model files, apply the data selection, build the sim."""
+    _LOG.info("--- loading inputs ---")
+    survey = io.load(cfg['files']['survey'])['survey']
     mdata = io.load(cfg['files']['model'])
     model = mdata['model']
-    grid = mdata.get('mesh', mdata.get('grid',
-                                       getattr(model, 'grid', None)))
+    grid = mdata.get('mesh', mdata.get('grid', getattr(model, 'grid', None)))
     if grid is None:
         raise ValueError("Model file must contain a 'mesh'/'grid'.")
-    min_offset = cfg['simulation_options'].pop('min_offset', 0.0)
 
-    # Select data.
-    data = cfg['data']
-    if data:
-        survey = survey.select(
-            sources=data.get('sources', None),
-            receivers=data.get('receivers', None),
-            frequencies=data.get('frequencies', None))
+    selection = cfg.get('data', {}) or {}
+    if selection:
+        survey = survey.select(sources=selection.get('sources'),
+                               receivers=selection.get('receivers'),
+                               frequencies=selection.get('frequencies'))
 
-    sim = simulations.Simulation(
-        survey=survey, grid=grid, model=model, verb=-1,
-        **cfg['simulation_options'])
+    sim = simulations.Simulation(survey=survey, grid=grid, model=model,
+                                 verb=-1, **cfg['simulation_options'])
+    return sim, selection
 
-    logger.info("\n    :: SIMULATION ::")
-    logger.info(f"\n{sim}\n")
-    logger.debug("    :: MESHES ::\n")
-    logger.debug(sim.print_grid_info(return_info=True))
 
-    output = {'configuration': {'data': cfg.get('data', {})}}
-
-    logger.info("    :: FORWARD COMPUTATION ::\n")
-    if dry_run:
-        output['data'] = np.zeros(sim.survey.shape, dtype=complex)
+def _run_task(sim, task, dry, results, min_offset=0.0):
+    """Fill `results` for the requested task, honouring dry runs."""
+    _LOG.info("--- forward solves ---")
+    if dry:
+        results['data'] = np.zeros(sim.survey.shape, dtype=complex)
+    elif task == 'forward':
+        sim.compute(observed=True, min_offset=min_offset)
+        results['data'] = sim.data.observed
+        _LOG.debug(sim.print_solver_info('efield', 1, True))
     else:
-        if function == 'forward':
-            sim.compute(observed=True, min_offset=min_offset)
-            output['data'] = sim.data.observed
-        else:
-            sim.compute()
-            output['data'] = sim.data.synthetic
-        logger.debug(sim.print_solver_info('efield', 1, True))
+        sim.compute()
+        results['data'] = sim.data.synthetic
+        _LOG.debug(sim.print_solver_info('efield', 1, True))
 
-    if function in ['misfit', 'gradient']:
-        output['misfit'] = 0.0 if dry_run else sim.misfit
-        output['n_observations'] = sim.survey.size
+    if task in ('misfit', 'gradient'):
+        results['misfit'] = 0.0 if dry else sim.misfit
+        results['n_observations'] = sim.survey.size
 
-    if function == 'gradient':
-        logger.info("\n    :: BACKWARD COMPUTATION ::\n")
-        if dry_run:
-            output['gradient'] = np.zeros(sim.grid.shape_cells)
-        else:
-            output['gradient'] = sim.gradient
-            logger.debug(sim.print_solver_info('bfield', 1, True))
-
-    # Store output.
-    logger.info("\n    :: SAVE RESULTS ::\n")
-    if cfg['files']['store_simulation'] and not dry_run:
-        output['simulation'] = sim.to_dict(what='computed')
-    io.save(cfg['files']['output'], **output)
-
-    logger.info(f"\n:: emg3d_tpu CLI {function} END :: {time.asctime()} "
-                f":: runtime = {runtime.runtime}")
+    if task == 'gradient':
+        _LOG.info("--- adjoint solves ---")
+        results['gradient'] = (np.zeros(sim.grid.shape_cells) if dry
+                               else sim.gradient)
+        if not dry:
+            _LOG.debug(sim.print_solver_info('bfield', 1, True))
 
 
-def check_files(cfg, term):
-    """Ensure all input files and the output directory exist."""
-    import os
-    for key in ['survey', 'model']:
-        if not os.path.isfile(cfg['files'][key]):
-            raise FileNotFoundError(
-                f"Input file not found: {cfg['files'][key]}")
+def _require_files(cfg):
+    """Fail fast on missing inputs; create the output directory."""
+    missing = [cfg['files'][k] for k in ('survey', 'model')
+               if not os.path.isfile(cfg['files'][k])]
+    if missing:
+        raise FileNotFoundError(f"Input file not found: {missing[0]}")
     os.makedirs(os.path.dirname(cfg['files']['output']) or '.',
                 exist_ok=True)
 
 
-def initiate_logger(cfg, runtime, verb):
-    """Dual console/file logger with captured warnings."""
-    logger = logging.getLogger('emg3d_tpu')
-    logger.handlers.clear()
-    logger.setLevel(logging.DEBUG)
+def _wire_logging(logfile, verbosity):
+    """Route package + warning logs to a file (DEBUG) and the console."""
+    console_level = (logging.WARNING, logging.INFO,
+                     logging.DEBUG)[min(max(verbosity + 1, 0), 2)]
+    to_file = logging.FileHandler(logfile, mode='w')
+    to_file.setLevel(logging.DEBUG)
+    to_console = logging.StreamHandler()
+    to_console.setLevel(console_level)
+    for handler in (to_file, to_console):
+        handler.setFormatter(logging.Formatter('%(message)s'))
 
-    fh = logging.FileHandler(cfg['files']['log'], mode='w')
-    fh.setLevel(logging.DEBUG)
-    fh.setFormatter(logging.Formatter('%(message)s'))
-    logger.addHandler(fh)
-
-    ch = logging.StreamHandler()
-    ch.setLevel([logging.WARNING, logging.INFO,
-                 logging.DEBUG][min(max(verb + 1, 0), 2)])
-    ch.setFormatter(logging.Formatter('%(message)s'))
-    logger.addHandler(ch)
-
+    for name in ('emg3d_tpu', 'py.warnings'):
+        log = logging.getLogger(name)
+        log.handlers.clear()
+        log.setLevel(logging.DEBUG)
+        log.addHandler(to_file)
+        log.addHandler(to_console)
     logging.captureWarnings(True)
-    wlog = logging.getLogger('py.warnings')
-    wlog.handlers.clear()
-    wlog.addHandler(fh)
-    wlog.addHandler(ch)
-    return logger
