@@ -1640,15 +1640,53 @@ def krylov(ctx, var):
             x = tuple(c * bnorm for c in xhi)
             ctx.e_lo = tuple(c * bnorm for c in xlo)
             l2_final = rnorm_true * bnorm
+        elif var.sslsolver == 'gcrotmk' and ctx.split and \
+                _pipelined_checks():
+            # Device-basis GCROT(m,k) under the same two-float
+            # refinement wrapper as bicgstab/cgs: unit-norm system,
+            # fixed-cycle preconditioner, true-residual convergence.
+            sc = 1.0 / max(bnorm, 1e-300)
+            from .ops.dsres import residual_ds
+            s_n = tuple(c * sc for c in s)
+            xhi = tuple(c * sc for c in x)
+            xlo = tuple(cx.zeros_like(c) for c in xhi)
+            atol_n = max(float(var.tol), 1e-30)
+
+            def gc_inner(r0, x0, scale=1.0):
+                return _gcrotmk_device(
+                    matvec,
+                    lambda r: _precond_fixed_cycles(ctx, var, r,
+                                                    batch=False),
+                    r0, x0, scale * atol_n, var.ssl_maxit, callback,
+                    l2scale=bnorm)
+
+            xhi, xlo, rnorm_true, info = _refine_krylov(
+                lambda h, l: residual_ds(h, l, s_n, arrays),
+                lambda r: float(_norm(*r)),
+                lambda r: _precond_fixed_cycles(
+                    ctx, var, r, batch=False,
+                    cycles=_REFINE_SHORTCUT_CYCLES),
+                gc_inner, xhi, xlo, atol_n, var.ssl_maxit,
+                inner_scale=_REFINE_INNER_SCALE,
+                shortcut_tries=_REFINE_SHORTCUT_TRIES)
+
+            x = tuple(c * bnorm for c in xhi)
+            ctx.e_lo = tuple(c * bnorm for c in xlo)
+            l2_final = rnorm_true * bnorm
         elif var.sslsolver == 'bicgstab':
             x, info = _bicgstab(matvec, precond, s, x, atol,
                                 var.ssl_maxit, callback)
         elif var.sslsolver == 'cgs':
             x, info = _cgs(matvec, precond, s, x, atol,
                            var.ssl_maxit, callback)
-        else:
+        elif os.environ.get('EMG3D_TPU_SCIPY_GCROT'):
+            # Compatibility-only: scipy owns the recurrence, full
+            # device pytrees round-trip through the host per matvec.
             x, info = _scipy_gcrotmk(ctx, var, matvec, precond, s, x,
                                      callback)
+        else:
+            x, info = _gcrotmk_device(matvec, precond, s, x, atol,
+                                      var.ssl_maxit, callback)
     except _ConvergenceError:
         info = -1
         x = tuple(cx.zeros_like(c) for c in s)
@@ -1723,6 +1761,255 @@ def _scipy_gcrotmk(ctx, var, matvec, precond, b, x, callback):
                            rtol=var.tol, atol=1e-30, M=M,
                            maxiter=var.ssl_maxit, callback=cb)
     return from_flat(xf), info
+
+
+# ----------------------------------------------------------------------
+# Device-native GCROT(m, k)
+#
+# The scipy fallback above round-trips FULL device pytrees through the
+# host on every matvec/preconditioner call — tunnel-latency-bound on
+# accelerator backends.  The native implementation below keeps the
+# Krylov basis (V), the flexible preconditioned vectors (Z) and the
+# recycled (C, U) pairs as device-resident stacks; the host sees one
+# small packed fetch per inner step (the Hessenberg column + the new
+# basis norm) and runs only the tiny (<= m x m) least-squares updates.
+# Reference parity: emg3d/solver.py:610-734 (scipy gcrotmk semantics,
+# Hicken & Zingg truncated recycling).
+# ----------------------------------------------------------------------
+
+_GCROT_M = int(os.environ.get('EMG3D_TPU_GCROT_M', 20))
+_GCROT_K = int(os.environ.get('EMG3D_TPU_GCROT_K', 10))
+
+
+def _st_dots(stacks, w):
+    """<stack_i, w> over all field components -> (S,) C2 scalars.
+
+    ``stacks`` holds one slot-stacked array per component (leading
+    axis = slot); the dot is the standard complex inner product
+    sum(conj(stack_i) * w) reduced over every component."""
+    re = im = None
+    for B, x in zip(stacks, w):
+        if cx.is_c2(x):
+            nd = x.re.ndim
+            ax = (tuple(range(1, nd + 1)), tuple(range(nd)))
+            r_ = (jnp.tensordot(B.re, x.re, ax)
+                  + jnp.tensordot(B.im, x.im, ax))
+            i_ = (jnp.tensordot(B.re, x.im, ax)
+                  - jnp.tensordot(B.im, x.re, ax))
+        else:
+            nd = x.ndim
+            ax = (tuple(range(1, nd + 1)), tuple(range(nd)))
+            d = jnp.tensordot(jnp.conj(B), x, ax)
+            r_, i_ = jnp.real(d), jnp.imag(d)
+        re = r_ if re is None else re + r_
+        im = i_ if im is None else im + i_
+    return cx.C2(re, im)
+
+
+def _st_comb(stacks, coef):
+    """sum_i coef_i * stack_i per component (coef: (S,) C2 scalars)."""
+    out = []
+    for B in stacks:
+        if cx.is_c2(B):
+            ax = ((0,), (0,))
+            re = (jnp.tensordot(coef.re, B.re, ax)
+                  - jnp.tensordot(coef.im, B.im, ax))
+            im = (jnp.tensordot(coef.re, B.im, ax)
+                  + jnp.tensordot(coef.im, B.re, ax))
+            out.append(cx.C2(re, im))
+        else:
+            cc = jax.lax.complex(coef.re, coef.im).astype(B.dtype)
+            out.append(jnp.tensordot(cc, B, ((0,), (0,))))
+    return tuple(out)
+
+
+def _st_zeros(nslots, like):
+    """Slot stacks of zeros shaped after the field pytree ``like``."""
+    out = []
+    for c in like:
+        if cx.is_c2(c):
+            sh = (nslots,) + c.re.shape
+            out.append(cx.C2(jnp.zeros(sh, c.re.dtype),
+                             jnp.zeros(sh, c.re.dtype)))
+        else:
+            out.append(jnp.zeros((nslots,) + c.shape, c.dtype))
+    return tuple(out)
+
+
+@jax.jit
+def _gc_append(stack, idx, v, scale):
+    """Slot write: stack[idx] := v * scale (scale: real device scalar)."""
+    out = []
+    for B, c in zip(stack, v):
+        if cx.is_c2(c):
+            out.append(cx.C2(B.re.at[idx].set(c.re * scale),
+                             B.im.at[idx].set(c.im * scale)))
+        else:
+            out.append(B.at[idx].set(c * scale))
+    return tuple(out)
+
+
+@jax.jit
+def _gc_ortho(cstack, vstack, cmask, vmask, w):
+    """Orthogonalize w against the active C and V slots (CGS2).
+
+    Two classical Gram-Schmidt passes in one dispatch (as stable as
+    modified GS); inactive slots are masked to zero so slot counts
+    never recompile.  Returns the orthogonalized w, its norm, and ONE
+    packed real vector [cd.re, cd.im, vd.re, vd.im, wnorm] for a
+    single host fetch per inner step.
+    """
+    def masked(d, mk):
+        return cx.C2(d.re * mk, d.im * mk)
+
+    def gs_pass(w_):
+        cd = masked(_st_dots(cstack, w_), cmask)
+        vd = masked(_st_dots(vstack, w_), vmask)
+        w_ = tuple(ww - cc - vv for ww, cc, vv in
+                   zip(w_, _st_comb(cstack, cd), _st_comb(vstack, vd)))
+        return w_, cd, vd
+
+    w, cd1, vd1 = gs_pass(w)
+    w, cd2, vd2 = gs_pass(w)
+    cd = cd1 + cd2
+    vd = vd1 + vd2
+    wn = jnp.sqrt(_dot_d(w, w).re)
+    pk = jnp.concatenate([cd.re, cd.im, vd.re, vd.im, wn[None]])
+    return w, wn, pk
+
+
+@jax.jit
+def _gc_form(vstack, zstack, ustack, hy, y, yb):
+    """The new outer pair before normalization.
+
+    cx_raw = V·(H y) is the A-image of ux_raw = Z·y − U·(B y) in the
+    C-complement (A Z = C B + V H by the projected Arnoldi relation).
+    """
+    cxr = _st_comb(vstack, hy)
+    uxr = tuple(zz - uu for zz, uu in
+                zip(_st_comb(zstack, y), _st_comb(ustack, yb)))
+    return cxr, uxr
+
+
+@jax.jit
+def _gc_update(x, r, cxr, uxr):
+    """x/r update along the new direction + packed diagnostics.
+
+    gamma = <c_new, r> with c_new = cxr/||cxr||; x += gamma·u_new,
+    r −= gamma·c_new.  Returns the updated pair, rsqrt(||cxr||²) (the
+    slot-write scale) and [||r_new||², ||cxr||²] for one fetch.
+    """
+    n2 = _dot_d(cxr, cxr).re
+    g = _dot_d(cxr, r)
+    inv = jax.lax.rsqrt(jnp.maximum(n2, jnp.finfo(n2.dtype).tiny))
+    if cx.is_c2(x[0]):
+        coef = cx.C2(g.re / n2, g.im / n2)
+    else:
+        coef = jax.lax.complex(g.re / n2, g.im / n2).astype(x[0].dtype)
+    x_new = tuple(xx + coef * uu for xx, uu in zip(x, uxr))
+    r_new = tuple(rr - coef * cc for rr, cc in zip(r, cxr))
+    rn2 = _dot_d(r_new, r_new).re
+    return x_new, r_new, inv, jnp.stack([rn2, n2])
+
+
+def _coef_dev(c, like):
+    """Host complex coefficient vector -> device scalars matching the
+    field representation (C2 pair on the split path)."""
+    dt = cx.real_dtype_of(like[0])
+    return cx.C2(jnp.asarray(np.real(c), dt), jnp.asarray(np.imag(c), dt))
+
+
+def _gcrotmk_device(matvec, precond, b, x, atol, maxiter, callback,
+                    m=None, k=None, l2scale=1.0):
+    """GCROT(m, k) with a device-resident basis and recycled subspace.
+
+    Flexible inner FGMRES(m) (the preconditioner may vary — here it is
+    a fixed number of MG cycles with advancing sc/lr schedules), outer
+    recycling of k (c, u) pairs with oldest-out truncation.  All basis
+    vectors stay on device; per inner step the host fetches one packed
+    (4·slots+1)-float vector and solves a ≤ m×m least-squares problem.
+    Works on both representations (CPU complex, TPU split C2).
+    """
+    m = _GCROT_M if m is None else m
+    k = _GCROT_K if k is None else k
+    dt = cx.real_dtype_of(b[0])
+
+    r = tuple(bb - aa for bb, aa in zip(b, matvec(x)))
+    rn = float(_norm(*r))
+    if rn <= atol or maxiter == 0:
+        return x, 0
+
+    cstack = _st_zeros(k, r)
+    ustack = _st_zeros(k, r)
+    vstack = _st_zeros(m + 1, r)
+    zstack = _st_zeros(m, r)
+    cmask = np.zeros(k, np.float64 if dt == jnp.float64 else np.float32)
+    cu_next = 0
+
+    for _cycle in range(maxiter):
+        beta = rn
+        vstack = _gc_append(vstack, np.int32(0), r,
+                            jnp.asarray(1.0 / beta, dt))
+        v_cur = tuple(c * (1.0 / beta) for c in r)
+        vmask = np.zeros(m + 1, cmask.dtype)
+        vmask[0] = 1.0
+        cmask_d = jnp.asarray(cmask)
+
+        H = np.zeros((m + 1, m), np.complex128)
+        Bm = np.zeros((k, m), np.complex128)
+        e1 = np.zeros(m + 1, np.complex128)
+        e1[0] = beta
+        j = 0
+        y = None
+        while j < m:
+            z = precond(v_cur)
+            w = matvec(z)
+            zstack = _gc_append(zstack, np.int32(j), z,
+                                jnp.asarray(1.0, dt))
+            w, _wn_d, pk = _gc_ortho(cstack, vstack, cmask_d,
+                                     jnp.asarray(vmask), w)
+            pk = np.asarray(pk, np.float64)            # ONE fetch
+            cd = pk[:k] + 1j * pk[k:2 * k]
+            vd = pk[2 * k:2 * k + m + 1] + 1j * pk[2 * k + m + 1:-1]
+            wn = float(pk[-1])
+            H[:, j] = vd
+            H[j + 1, j] = wn
+            Bm[:, j] = cd
+            happy = not np.isfinite(wn) or wn <= 1e-30
+            if not happy and j + 1 < m + 1:
+                vstack = _gc_append(vstack, np.int32(j + 1), w,
+                                    jnp.asarray(1.0 / wn, dt))
+                vmask[j + 1] = 1.0
+                v_cur = tuple(c * (1.0 / wn) for c in w)
+            j += 1
+            y = np.linalg.lstsq(H[:j + 1, :j], e1[:j + 1],
+                                rcond=None)[0]
+            pres = np.linalg.norm(e1[:j + 1] - H[:j + 1, :j] @ y)
+            if pres <= atol or happy:
+                break
+
+        hy = np.zeros(m + 1, np.complex128)
+        hy[:j + 1] = H[:j + 1, :j] @ y
+        ypad = np.zeros(m, np.complex128)
+        ypad[:j] = y
+        yb = Bm[:, :j] @ y
+        cxr, uxr = _gc_form(vstack, zstack, ustack,
+                            _coef_dev(hy, r), _coef_dev(ypad, r),
+                            _coef_dev(yb, r))
+        x, r, inv_d, diag = _gc_update(x, r, cxr, uxr)
+        cstack = _gc_append(cstack, np.int32(cu_next), cxr, inv_d)
+        ustack = _gc_append(ustack, np.int32(cu_next), uxr, inv_d)
+        cmask[cu_next] = 1.0
+        cu_next = (cu_next + 1) % k
+
+        rn2, n2 = np.asarray(diag, np.float64)         # one fetch/cycle
+        rn = float(np.sqrt(max(rn2, 0.0)))
+        callback(x, l2=rn * l2scale)
+        if not np.isfinite(rn) or n2 <= 0:
+            return x, -1
+        if rn <= atol:
+            return x, 0
+    return x, maxiter
 
 
 def _dot_d(a, b):

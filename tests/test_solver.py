@@ -78,6 +78,44 @@ class TestHomogeneousVTI:
         assert info['rel_error'] < 1e-6
         assert _rel(e, golden) < 1e-5
 
+    def test_gcrotmk_device_basis(self, setup):
+        """Native GCROT(m,k) (device-resident basis) == scipy's answer.
+
+        The host-scalar representation (f64 complex) runs
+        solver._gcrotmk_device with numpy least-squares on the fetched
+        Hessenberg; must converge to the same golden field as the
+        reference's scipy-backed gcrotmk.
+        """
+        reg, grid, model, sfield = setup
+        golden = helpers.get_field(reg, 'res>bicresult', grid)
+        e, info = solve(grid, model, sfield, cycle='F',
+                        sslsolver='gcrotmk', verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert _rel(e, golden) < 1e-5
+
+    def test_gcrotmk_split_f32_true_1e6(self, setup, monkeypatch):
+        """Split-pair GCROT(m,k) reaches a TRUE 1e-6 via refinement.
+
+        Forces the C2 representation + pipelined checks (the TPU
+        production configuration) so the refined _gcrotmk_device path
+        carries the solve: unit-norm system, fixed-cycle MG
+        preconditioner, two-float accumulation.
+        """
+        monkeypatch.setenv('EMG3D_TPU_SPLIT', '1')
+        monkeypatch.setenv('EMG3D_TPU_PIPELINE', '1')
+        reg, grid, model, sfield = setup
+        sf32 = SourceField(
+            np.asarray(sfield.fx).astype(np.complex64),
+            np.asarray(sfield.fy).astype(np.complex64),
+            np.asarray(sfield.fz).astype(np.complex64),
+            frequency=sfield._frequency)
+        e, info = solve(grid, model, sf32, cycle='F',
+                        sslsolver='gcrotmk', verb=1, return_info=True)
+        assert info['exit_message'] == 'CONVERGED'
+        assert info['rel_error'] < 1e-6
+        golden = helpers.get_field(reg, 'res>bicresult', grid)
+        assert _rel(e, golden) < 2e-5
+
     def test_f32_two_float_1e6(self, setup):
         """float32 storage reaches the reference default tol=1e-6.
 
