@@ -32,6 +32,7 @@ def test_batched_matches_single(problem):
         assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_batched_with_sc_lr(problem):
     grid, model = problem
     sfields = [get_source_field(grid, [300 + 200*i, 900, 700, 20, 5],
@@ -68,6 +69,7 @@ def test_batched_mixed_frequencies(problem):
         assert es[i]._frequency == sf._frequency
 
 
+@pytest.mark.slow
 def test_batched_mixed_frequencies_bicgstab(problem):
     grid, model = problem
     sfields = [get_source_field(grid, [300 + 200*i, 800, 800, 0, 0], f)
@@ -120,6 +122,7 @@ def test_simulation_batches_across_frequencies(problem):
     assert np.all(np.isfinite(sim.data.synthetic))
 
 
+@pytest.mark.slow
 def test_batched_bicgstab_matches_single(problem):
     grid, model = problem
     sfields = [get_source_field(grid, [200 + 300*i, 800, 800, 0, 0],
@@ -236,6 +239,7 @@ def test_batched_f32_true_1e6_mg(problem):
         assert rel < 2e-5
 
 
+@pytest.mark.slow
 def test_batched_f32_true_1e6_bicgstab(problem):
     """float32 batched BiCGSTAB: per-lane two-float refinement makes
     the reported CONVERGED a true-residual statement."""

@@ -53,6 +53,7 @@ def setup():
     return grid, misfit, log_sig0, d_obs
 
 
+@pytest.mark.slow
 def test_grad_matches_fd(setup):
     _, misfit, log_sig0, d_obs = setup
     g = jax.grad(misfit)(log_sig0, d_obs)

@@ -130,6 +130,7 @@ def test_solver_dispatches_pallas_line(monkeypatch):
                 max(np.linalg.norm(da), 1e-30)) < 2e-2
 
 
+@pytest.mark.slow
 def test_forced_residual_y_tiling_matches_untiled():
     """_tyr forces residual y-slabs; result must equal the untiled
     kernel exactly (same math on the same loaded values)."""
@@ -150,6 +151,7 @@ def test_forced_residual_y_tiling_matches_untiled():
             atol=2e-5)
 
 
+@pytest.mark.slow
 def test_forced_thomas_z_tiling_matches_untiled():
     """_tz forces Thomas z-slabs (the 256³-class configuration: TZ a
     multiple of 128 >= 256, toz = TZ - 128 owned lines at 128-aligned
@@ -197,6 +199,7 @@ def test_supported_gate():
     assert not supported(tuple(cx.tocomplex(c) for c in e), (12, 8, 8))
 
 
+@pytest.mark.slow
 def test_chunked_factor_build_matches_one_shot():
     """zsplit builds the factor stack in transverse chunks (256^3-class
     HBM transient control); per-line eliminations are independent, so

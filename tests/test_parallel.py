@@ -175,6 +175,7 @@ def test_shmap_line_relaxation_matches_single(smoother_inputs):
         parallel.make_mesh(8, axes=('y', 'z')), lev.shape, 1)
 
 
+@pytest.mark.slow
 def test_shmap_lr_solve_matches_single(problem):
     """Full sc+lr solve routed through the shard_map line smoother."""
     grid, model, sfield = problem

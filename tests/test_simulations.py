@@ -112,6 +112,7 @@ class TestGradient:
         with pytest.raises(ValueError, match='noise_floor'):
             optimize.misfit(sim)
 
+    @pytest.mark.slow
     def test_fd_gradient(self):
         """Adjoint gradient vs forward finite differences (<1% NRMSD)."""
         hx = np.ones(32) * 100
@@ -160,6 +161,7 @@ class TestGradient:
             nrmsds.append(nrmsd)
         assert np.mean(nrmsds) < 1.0
 
+    @pytest.mark.slow
     def test_fd_gradient_magnetic(self):
         """Adjoint gradient with MAGNETIC receivers vs forward FD.
 

@@ -232,6 +232,7 @@ class TestHomogeneousVTI:
 class TestHeterogeneousTriaxial:
     """Scenario 2: random tri-axial model, sc=123, lr=456 (reg_2>*)."""
 
+    @pytest.mark.slow
     def test_sc_lr_cycling(self, reg):
         grid = helpers.get_grid(reg, 'reg_2>grid')
         model = helpers.get_model(reg, 'reg_2>model', grid)
