@@ -22,10 +22,20 @@ device mesh:
   2-D mesh the z halos are exchanged first and the y halos are taken
   from the z-extended slabs, so corner values ride along without a
   dedicated diagonal exchange.
-- **Overlap.** All color steps live inside one compiled shard_map
-  region, so XLA schedules the collective-permutes asynchronously
-  against the independent interior arithmetic (the batched LDLᵀ /
-  block-Thomas solves don't depend on the pushed-back ghost plane).
+- **Engineered halo/compute overlap.** Each color step computes the
+  O(volume) work — the full residual stencil and the batched LDLᵀ /
+  block-Thomas solves — from a ZERO-extended field (`_Halo.field_zero`,
+  no communication), so it has no data dependence on the in-flight
+  ppermutes and XLA's latency-hiding scheduler runs the collectives
+  under it.  Only an O(surface) tail waits on the halos: per shard
+  face, a 4-plane boundary stripe of `residual_parts` reproduces
+  exactly the residual planes the zero-halo bulk got wrong (stencil
+  reach ≤ 2 planes), and the 2 boundary block-planes are re-solved
+  from the corrected residual (`_point_boundary_fix` /
+  `_line_boundary_fix`).  The split is exact — parity tests pin the
+  result to the single-device smoothers at 1e-12 — and the
+  independence of the bulk is by construction: it is a function of
+  owned data only.
 - The per-node 6×6 factorizations (point) and per-line block-Thomas
   factorizations (lines) are model-dependent only: factored once per
   call on the haloed parameter slabs (each shard factors exactly its
@@ -194,12 +204,36 @@ class _Halo:
             return _cat([_lo_halo(a, ax, name, ndev), a], ax)
         return _cat([_zplane(a, ax), a, _zplane(a, ax)], ax)  # zeros
 
+    def _ext_zero(self, a, ax, kind):
+        """Same extension shape as :meth:`_ext` with zero halo planes
+        (no communication) — the bulk update's input."""
+        name = (self.yname, self.zname)[ax - 1]
+        if name is None:
+            return a
+        if kind == 'cell':
+            return _cat([_zplane(a, ax), a], ax)
+        return _cat([_zplane(a, ax), a, _zplane(a, ax)], ax)
+
     def field(self, ex, ey, ez):
         """Extend an E-field triple (per color step)."""
         exh = self._ext(self._ext(ex, 2, 'node'), 1, 'node')
         eyh = self._ext(self._ext(ey, 2, 'node'), 1, 'cell')
         ezh = self._ext(self._ext(ez, 2, 'cell'), 1, 'node')
         return exh, eyh, ezh
+
+    def field_zero(self, ex, ey, ez):
+        """Zero-halo extension of the field (same shapes as
+        :meth:`field`, no ppermutes).  The O(volume) bulk update runs
+        on this, making it data-independent of the halo exchange."""
+        ex0 = self._ext_zero(self._ext_zero(ex, 2, 'node'), 1, 'node')
+        ey0 = self._ext_zero(self._ext_zero(ey, 2, 'node'), 1, 'cell')
+        ez0 = self._ext_zero(self._ext_zero(ez, 2, 'cell'), 1, 'node')
+        return ex0, ey0, ez0
+
+    def sharded_axes(self):
+        """Local array axes (1=y, 2=z) actually sharded on this mesh."""
+        return [ax for ax, name in ((1, self.yname), (2, self.zname))
+                if name is not None]
 
     def source(self, sx, sy, sz):
         """Extend the source triple (once per call; the residual reads
@@ -247,6 +281,220 @@ def _station_residuals(rx, ry, rz):
     return [rx[:-1, 1:-1, 1:-1], rx[1:, 1:-1, 1:-1],
             ry[1:-1, :-1, 1:-1], ry[1:-1, 1:, 1:-1],
             rz[1:-1, 1:-1, :-1], rz[1:-1, 1:-1, 1:]]
+
+
+# ----------------------------------------------------------------------
+# Boundary-stripe machinery for the engineered halo/compute overlap.
+#
+# The bulk update per color step runs on the ZERO-extended field, so
+# every residual plane whose stencil touches a halo plane (≤ 2 planes
+# per shard face; reach is 1 node + 1 cell plane) is wrong, and so are
+# the ≤ 2 boundary block-planes whose stations read those planes.  The
+# fix recomputes exactly those from narrow crops of the TRUE
+# (halo-extended) arrays: residual_parts on a boundary crop reproduces
+# the full computation bit-for-bit wherever the crop carries the
+# stencil support (the crop edge that coincides with the extended
+# array's edge sees the identical truncation).
+# ----------------------------------------------------------------------
+
+# Extension kind per field/source component along each local axis
+# (must mirror _Halo.field / _Halo.source).
+_E_AX_KINDS = {1: ('node', 'cell', 'node'), 2: ('node', 'node', 'cell')}
+_S_AX_KINDS = {1: ('zero', 'cell', 'zero'), 2: ('zero', 'zero', 'cell')}
+
+# Stripe width (node planes) and corrected planes/blocks per face.
+# w=3 is minimal: the 2 overwritten planes read node planes ≤ 2 and
+# cell planes ≤ 1 inside the crop (stencil reach 1 node + 1 cell).
+_STRIPE_W = 3
+_STRIPE_NB = 2
+
+
+def _crop_kind(a, ax, kind, lo, w):
+    """Boundary crop of one extended array along ``ax``.
+
+    node/zero kinds keep ``w`` planes, cell kinds ``w − 1`` — equal
+    start offsets preserve the Yee node/cell staggering inside the
+    stripe (cell plane j sits between node planes j and j+1 in
+    extended-local coordinates exactly as in global ones).
+    """
+    n = w if kind != 'cell' else w - 1
+
+    def one(x):
+        L = x.shape[ax]
+        m = min(n, L)
+        sl = [slice(None)] * x.ndim
+        sl[ax] = slice(0, m) if lo else slice(L - m, L)
+        return x[tuple(sl)]
+
+    return _tmap(one, a)
+
+
+def _own_crop(a, ax, lo, n):
+    """First/last ``n`` planes of an UNextended (owned) array."""
+    def one(x):
+        L = x.shape[ax]
+        m = min(n, L)
+        sl = [slice(None)] * x.ndim
+        sl[ax] = slice(0, m) if lo else slice(L - m, L)
+        return x[tuple(sl)]
+
+    return _tmap(one, a)
+
+
+def _stripe_e(e_, halo, ax, lo, w, true_cross=True):
+    """Boundary stripes of the halo-extended field, built WITHOUT
+    materializing the full extended arrays.
+
+    Per component: ppermute the neighbor's edge plane (the identical
+    plane the old full extension exchanged) and concat it with a
+    2-plane crop of the owned data; then extend the *stripe* along the
+    other sharded axis — the permuted stripe edge already carries the
+    neighbor's halo plane, so 2-D corner values ride along exactly as
+    they do in the nested full extension.
+    """
+    name = (halo.yname, halo.zname)[ax - 1]
+    ndev = (halo.ny_dev, halo.nz_dev)[ax - 1]
+    kinds = _E_AX_KINDS[ax]
+    other = 3 - ax
+    okinds = _E_AX_KINDS[other]
+    out = []
+    for a, kind, okind in zip(e_, kinds, okinds):
+        if kind == 'cell' and not lo:
+            st = _own_crop(a, ax, lo, w - 1)    # cell: no hi halo plane
+        else:
+            n_own = (w - 2) if kind == 'cell' else (w - 1)
+            own = _own_crop(a, ax, lo, n_own)
+            hp = (_lo_halo(a, ax, name, ndev) if lo
+                  else _hi_halo(a, ax, name, ndev))
+            st = _cat([hp, own] if lo else [own, hp], ax)
+        # Extend the stripe along the other sharded axis (no-op when
+        # that axis is unsharded); corners come from the neighbor's
+        # stripe edge, which includes its halo plane.  Stripes of an
+        # axis whose boundary planes are later overwritten by the
+        # other axis's stripes only need the SHAPE (zero extension).
+        st = (halo._ext(st, other, okind) if true_cross
+              else halo._ext_zero(st, other, okind))
+        out.append(st)
+    return tuple(out)
+
+
+def _crop_args(sh, eh_stripe, par_h, ax, lo, w):
+    """residual_parts arguments for one boundary stripe: the field
+    stripes are pre-built (:func:`_stripe_e`); source/parameters are
+    crops of the once-per-call extended arrays."""
+    s_c = tuple(_crop_kind(a, ax, k, lo, w)
+                for a, k in zip(sh, _S_AX_KINDS[ax]))
+    par = list(par_h)
+    for i in range(4):                      # eta_x, eta_y, eta_z, zeta
+        par[i] = _crop_kind(par[i], ax, 'cell', lo, w)
+    par[4 + ax] = _crop_kind(par[4 + ax], 0, 'cell', lo, w)  # hy / hz
+    return s_c, eh_stripe, tuple(par)
+
+
+def _ovw(a, b, ax, lo, k):
+    """Overwrite ``a``'s first/last ``k`` planes along ``ax`` with
+    ``b``'s first/last ``k`` (static slices; shapes may differ)."""
+    def one(x, y):
+        L, Lb = x.shape[ax], y.shape[ax]
+        m = min(k, L, Lb)
+        sl = [slice(None)] * x.ndim
+        slb = [slice(None)] * y.ndim
+        sl[ax] = slice(0, m) if lo else slice(L - m, L)
+        slb[ax] = slice(0, m) if lo else slice(Lb - m, Lb)
+        return x.at[tuple(sl)].set(y[tuple(slb)])
+
+    return _tmap(one, a, b)
+
+
+def _bcrop(a, ax, lo, nb):
+    """Crop ``nb`` boundary block-planes along ``ax``."""
+    def one(x):
+        L = x.shape[ax]
+        m = min(nb, L)
+        sl = [slice(None)] * x.ndim
+        sl[ax] = slice(0, m) if lo else slice(L - m, L)
+        return x[tuple(sl)]
+
+    return _tmap(one, a)
+
+
+def _fix_residual(r0, e_, sh, par_h, halo, axes):
+    """Exact residual: overwrite the halo-adjacent planes of the bulk
+    (zero-halo) residual with boundary-stripe recomputations.
+
+    The LAST axis's stripes carry the true cross-extension (their
+    values are final everywhere, corners included); earlier axes'
+    boundary planes are overwritten by later stripes, so those stripes
+    zero-extend (shape only) and stay independent of the other axis's
+    halos.
+    """
+    rx, ry, rz = r0
+    for ax in axes:
+        true_cross = ax == axes[-1]
+        for lo in (True, False):
+            e_c = _stripe_e(e_, halo, ax, lo, _STRIPE_W,
+                            true_cross=true_cross)
+            s_c, e_c, p_c = _crop_args(sh, e_c, par_h, ax, lo, _STRIPE_W)
+            rsx, rsy, rsz = stencil.residual_parts(*s_c, *e_c, *p_c)
+            rx = _ovw(rx, rsx, ax, lo, _STRIPE_NB)
+            ry = _ovw(ry, rsy, ax, lo, _STRIPE_NB)
+            rz = _ovw(rz, rsz, ax, lo, _STRIPE_NB)
+    return rx, ry, rz
+
+
+def _line_stack(rx, ry, rz, padx3):
+    """The 5-station residual stack of the x-line block solve."""
+    return cx.stack([
+        rx[:, 1:-1, 1:-1],
+        cx.pad(ry[1:-1, :-1, 1:-1], padx3),
+        cx.pad(ry[1:-1, 1:, 1:-1], padx3),
+        cx.pad(rz[1:-1, 1:-1, :-1], padx3),
+        cx.pad(rz[1:-1, 1:-1, 1:], padx3),
+    ], axis=-1)
+
+
+def _line_boundary_fix(delta, e_, sh, par_h, facts, B, halo, axes, r0,
+                       padx3):
+    """Line-relaxation analog of :func:`_point_boundary_fix`: re-solve
+    the whole lines of the ≤ 2 boundary transverse block-planes per
+    shard face from the corrected residual (the Thomas recurrence
+    couples along x only, so transverse planes re-solve independently).
+    """
+    if not axes:
+        return delta
+    r = _line_stack(*_fix_residual(r0, e_, sh, par_h, halo, axes),
+                    padx3)
+    for ax in axes:
+        for lo in (True, False):
+            f_c = tuple(_bcrop(f, ax, lo, _STRIPE_NB) for f in facts)
+            d_c = block_tridiag_solve_factored(
+                *f_c, _bcrop(B, ax, lo, _STRIPE_NB),
+                _bcrop(r, ax, lo, _STRIPE_NB))
+            delta = _ovw(delta, d_c, ax, lo, _STRIPE_NB)
+    return delta
+
+
+def _point_boundary_fix(delta, e_, sh, par_h, fact, halo, axes, r0):
+    """Replace the boundary block-planes of the bulk point-update
+    ``delta`` with values computed from the true (halo-extended) field.
+
+    O(surface) only: 3-plane stripes of residual + a 2-block-plane
+    LDLᵀ re-solve per shard face; the O(volume) bulk never waits on
+    the ppermutes.
+    """
+    if not axes:
+        return delta
+    st = _station_residuals(*_fix_residual(r0, e_, sh, par_h, halo,
+                                           axes))
+    for ax in axes:
+        for lo in (True, False):
+            st_c = [_bcrop(b, ax, lo, _STRIPE_NB) for b in st]
+            d_c = ldl_solve_factored(6, _bcrop(fact[0], ax, lo, _STRIPE_NB),
+                                     _bcrop(fact[1], ax, lo, _STRIPE_NB),
+                                     st_c)
+            delta = [_ovw(d, dc, ax, lo, _STRIPE_NB)
+                     for d, dc in zip(delta, d_c)]
+    return delta
 
 
 # ----------------------------------------------------------------------
@@ -323,11 +571,20 @@ def _point_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     ysl = slice(None) if yname else slice(1, -1)   # own-layout node sel
     zsl = slice(None) if zname else slice(1, -1)
 
+    axes = halo.sharded_axes()
+
     def color_step(e_, color):
-        exh, eyh, ezh = halo.field(*e_)
-        rx, ry, rz = stencil.residual_parts(*sh, exh, eyh, ezh, *par_h)
+        # The boundary stripes' edge-plane ppermutes issue first; the
+        # bulk update below is a function of OWNED data only
+        # (zero-extended field), so XLA schedules the collectives under
+        # the O(volume) stencil + LDLᵀ work.  Only the O(surface)
+        # boundary fix waits on the halos.
+        e0 = halo.field_zero(*e_)
+        rx, ry, rz = stencil.residual_parts(*sh, *e0, *par_h)
         delta = ldl_solve_factored(6, fact[0], fact[1],
                                    _station_residuals(rx, ry, rz))
+        delta = _point_boundary_fix(delta, e_, sh, par_h, fact, halo,
+                                    axes, (rx, ry, rz))
 
         px = color % 2
         py = (color // 2) % 2
@@ -488,22 +745,23 @@ def _line_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
     zsl = slice(None) if zname else slice(1, -1)
     padx = ((0, 1), (0, 0), (0, 0), (0, 0))
 
+    axes = halo.sharded_axes()
+
     def color_step(e_, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
         cyp = color % 2
         czp = color // 2
 
-        exh, eyh, ezh = halo.field(*e_)
-        rx, ry, rz = stencil.residual_parts(*sh, exh, eyh, ezh, *par_h)
-        r = cx.stack([
-            rx[:, 1:-1, 1:-1],
-            cx.pad(ry[1:-1, :-1, 1:-1], padx[:3]),
-            cx.pad(ry[1:-1, 1:, 1:-1], padx[:3]),
-            cx.pad(rz[1:-1, 1:-1, :-1], padx[:3]),
-            cx.pad(rz[1:-1, 1:-1, 1:], padx[:3]),
-        ], axis=-1)
-        delta = block_tridiag_solve_factored(*facts, B, r)
+        # Same split as _point_body: the O(volume) residual + Thomas
+        # solve run on the zero-extended field (no ppermute
+        # dependence); only the boundary fix waits on the halos.
+        e0 = halo.field_zero(*e_)
+        r0 = stencil.residual_parts(*sh, *e0, *par_h)
+        delta = block_tridiag_solve_factored(
+            *facts, B, _line_stack(*r0, padx[:3]))
+        delta = _line_boundary_fix(delta, e_, sh, par_h, facts, B,
+                                   halo, axes, r0, padx[:3])
 
         mask = (((gy - 1) % 2 == cyp) & ((gz - 1) % 2 == czp) & inb)
         dm = cx.where(mask[..., None], delta, 0)
