@@ -442,6 +442,55 @@ def _fix_residual(r0, e_, sh, par_h, halo, axes):
     return rx, ry, rz
 
 
+def _point_bulk(e_, sh, par_h, fact, halo):
+    """The O(volume) part of one point color step: zero-extended
+    residual + full-grid LDLᵀ block solve.
+
+    Contains NO collectives — it is executable outside any mesh
+    context (tests prove this by calling it under plain jit; a
+    ppermute would raise), which is the mechanical form of the
+    overlap guarantee: XLA can always schedule the halo exchange
+    under it.
+    """
+    e0 = halo.field_zero(*e_)
+    rx, ry, rz = stencil.residual_parts(*sh, *e0, *par_h)
+    delta = ldl_solve_factored(6, fact[0], fact[1],
+                               _station_residuals(rx, ry, rz))
+    return delta, (rx, ry, rz)
+
+
+def _line_bulk(e_, sh, par_h, facts, B, halo, padx3):
+    """The O(volume) part of one line color step (no collectives)."""
+    e0 = halo.field_zero(*e_)
+    r0 = stencil.residual_parts(*sh, *e0, *par_h)
+    delta = block_tridiag_solve_factored(
+        *facts, B, _line_stack(*r0, padx3))
+    return delta, r0
+
+
+def _apply_pend(e_, pend, yname, zname):
+    """Apply the lagged remote ghost deposits (one plane per sharded
+    axis, received from the previous color step's push)."""
+    ex_, ey_, ez_ = e_
+    i = 0
+    if yname is not None:
+        ey_ = ey_.at[:, -1:, :].add(pend[i])
+        i += 1
+    if zname is not None:
+        ez_ = ez_.at[..., -1:].add(pend[i])
+    return (ex_, ey_, ez_)
+
+
+def _pend_zeros(e_, yname, zname):
+    """Zero initial ghost-deposit planes for the color-step scan."""
+    out = []
+    if yname is not None:
+        out.append(_tmap(lambda x: jnp.zeros_like(x[:, -1:, :]), e_[1]))
+    if zname is not None:
+        out.append(_tmap(lambda x: jnp.zeros_like(x[..., -1:]), e_[2]))
+    return tuple(out)
+
+
 def _line_stack(rx, ry, rz, padx3):
     """The 5-station residual stack of the x-line block solve."""
     return cx.stack([
@@ -573,18 +622,23 @@ def _point_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 
     axes = halo.sharded_axes()
 
-    def color_step(e_, color):
-        # The boundary stripes' edge-plane ppermutes issue first; the
-        # bulk update below is a function of OWNED data only
-        # (zero-extended field), so XLA schedules the collectives under
-        # the O(volume) stencil + LDLᵀ work.  Only the O(surface)
-        # boundary fix waits on the halos.
-        e0 = halo.field_zero(*e_)
-        rx, ry, rz = stencil.residual_parts(*sh, *e0, *par_h)
-        delta = ldl_solve_factored(6, fact[0], fact[1],
-                                   _station_residuals(rx, ry, rz))
-        delta = _point_boundary_fix(delta, e_, sh, par_h, fact, halo,
-                                    axes, (rx, ry, rz))
+    def color_step(carry, color):
+        # Pipelined ghost push: the remote deposit received from the
+        # PREVIOUS step's push rides in ``pend`` and is applied here —
+        # so no collective ever gates the O(volume) chain (the bulk of
+        # step c reads the pre-apply field of step c−1; its error is
+        # confined to the same boundary planes the fix overwrites).
+        e_, pend = carry
+        et = _apply_pend(e_, pend, yname, zname)
+
+        # The boundary stripes' edge-plane ppermutes (on the
+        # deposit-applied field) issue first; the bulk update below is
+        # a function of OWNED pre-apply data only (zero-extended
+        # field), so XLA schedules all collectives under the O(volume)
+        # stencil + LDLᵀ work.  Only the O(surface) fix waits on them.
+        delta, r0 = _point_bulk(e_, sh, par_h, fact, halo)
+        delta = _point_boundary_fix(delta, et, sh, par_h, fact, halo,
+                                    axes, r0)
 
         px = color % 2
         py = (color // 2) % 2
@@ -593,45 +647,45 @@ def _point_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
         dm = [cx.where(mask, dv, 0) for dv in delta]
 
         # ex: node i deposits into x-edges i−1 (dm[0]) and i (dm[1]).
-        ex_n = e_[0].at[:, ysl, zsl].add(
+        ex_n = et[0].at[:, ysl, zsl].add(
             cx.pad(dm[0], ((0, 1), (0, 0), (0, 0))) +
             cx.pad(dm[1], ((1, 0), (0, 0), (0, 0))))
 
+        pend_n = []
         # ey: node j deposits into y-cells j−1 (dm[2]) and j (dm[3]).
         if yname is None:
-            ey_n = e_[1].at[1:-1, :, zsl].add(
+            ey_n = et[1].at[1:-1, :, zsl].add(
                 cx.pad(dm[2], ((0, 0), (0, 1), (0, 0))) +
                 cx.pad(dm[3], ((0, 0), (1, 0), (0, 0))))
         else:
-            ey_n = e_[1].at[1:-1, :, zsl].add(
+            ey_n = et[1].at[1:-1, :, zsl].add(
                 cx.pad(dm[2][:, 1:], ((0, 0), (0, 1), (0, 0))) + dm[3])
-            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), e_[1]) \
+            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), et[1]) \
                 .at[1:-1, :, zsl].add(dm[2][:, :1])
-            rem = _tmap(lambda x: lax.ppermute(
-                x, yname, _perms(ny_dev, False)), dep)
-            ey_n = ey_n.at[:, -1:, :].add(rem)
+            pend_n.append(_tmap(lambda x: lax.ppermute(
+                x, yname, _perms(ny_dev, False)), dep))
 
         # ez: node k deposits into z-cells k−1 (dm[4]) and k (dm[5]).
         if zname is None:
-            ez_n = e_[2].at[1:-1, ysl, :].add(
+            ez_n = et[2].at[1:-1, ysl, :].add(
                 cx.pad(dm[4], ((0, 0), (0, 0), (0, 1))) +
                 cx.pad(dm[5], ((0, 0), (0, 0), (1, 0))))
         else:
-            ez_n = e_[2].at[1:-1, ysl, :].add(
+            ez_n = et[2].at[1:-1, ysl, :].add(
                 cx.pad(dm[4][..., 1:], ((0, 0), (0, 0), (0, 1))) + dm[5])
-            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), e_[2]) \
+            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), et[2]) \
                 .at[1:-1, ysl, :].add(dm[4][..., :1])
-            rem = _tmap(lambda x: lax.ppermute(
-                x, zname, _perms(nz_dev, False)), dep)
-            ez_n = ez_n.at[..., -1:].add(rem)
-        return (ex_n, ey_n, ez_n), None
+            pend_n.append(_tmap(lambda x: lax.ppermute(
+                x, zname, _perms(nz_dev, False)), dep))
+        return ((ex_n, ey_n, ez_n), tuple(pend_n)), None
 
     seq = []
     for it in range(nu):
         seq.extend(range(8) if it % 2 == 0 else range(7, -1, -1))
-    e_out, _ = lax.scan(color_step, (ex, ey, ez),
-                        jnp.asarray(np.array(seq, np.int32)))
-    return e_out
+    pend0 = _pend_zeros((ex, ey, ez), yname, zname)
+    (e_out, pend_out), _ = lax.scan(color_step, ((ex, ey, ez), pend0),
+                                    jnp.asarray(np.array(seq, np.int32)))
+    return _apply_pend(e_out, pend_out, yname, zname)
 
 
 # ----------------------------------------------------------------------
@@ -747,57 +801,58 @@ def _line_body(ex, ey, ez, sx, sy, sz, eta_x, eta_y, eta_z, zeta,
 
     axes = halo.sharded_axes()
 
-    def color_step(e_, sc):
+    def color_step(carry, sc):
         it, cidx = sc
         color = jnp.where(it % 2 == 0, cidx, 3 - cidx)
         cyp = color % 2
         czp = color // 2
 
-        # Same split as _point_body: the O(volume) residual + Thomas
-        # solve run on the zero-extended field (no ppermute
+        # Same pipelined split as _point_body: lagged ghost deposits
+        # applied here; the O(volume) residual + Thomas solve run on
+        # the pre-apply zero-extended field (no collective
         # dependence); only the boundary fix waits on the halos.
-        e0 = halo.field_zero(*e_)
-        r0 = stencil.residual_parts(*sh, *e0, *par_h)
-        delta = block_tridiag_solve_factored(
-            *facts, B, _line_stack(*r0, padx[:3]))
-        delta = _line_boundary_fix(delta, e_, sh, par_h, facts, B,
+        e_, pend = carry
+        et = _apply_pend(e_, pend, yname, zname)
+        delta, r0 = _line_bulk(e_, sh, par_h, facts, B, halo, padx[:3])
+        delta = _line_boundary_fix(delta, et, sh, par_h, facts, B,
                                    halo, axes, r0, padx[:3])
 
         mask = (((gy - 1) % 2 == cyp) & ((gz - 1) % 2 == czp) & inb)
         dm = cx.where(mask[..., None], delta, 0)
 
-        ex_n = e_[0].at[:, ysl, zsl].add(dm[..., 0])
+        ex_n = et[0].at[:, ysl, zsl].add(dm[..., 0])
 
+        pend_n = []
         if yname is None:
-            ey_n = e_[1].at[1:-1, :, zsl].add(
+            ey_n = et[1].at[1:-1, :, zsl].add(
                 cx.pad(dm[:-1, ..., 1], ((0, 0), (0, 1), (0, 0))) +
                 cx.pad(dm[:-1, ..., 2], ((0, 0), (1, 0), (0, 0))))
         else:
-            ey_n = e_[1].at[1:-1, :, zsl].add(
+            ey_n = et[1].at[1:-1, :, zsl].add(
                 cx.pad(dm[:-1, 1:, :, 1], ((0, 0), (0, 1), (0, 0))) +
                 dm[:-1, ..., 2])
-            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), e_[1]) \
+            dep = _tmap(lambda x: jnp.zeros_like(x[:, :1]), et[1]) \
                 .at[1:-1, :, zsl].add(dm[:-1, :1, :, 1])
-            rem = _tmap(lambda x: lax.ppermute(
-                x, yname, _perms(ny_dev, False)), dep)
-            ey_n = ey_n.at[:, -1:, :].add(rem)
+            pend_n.append(_tmap(lambda x: lax.ppermute(
+                x, yname, _perms(ny_dev, False)), dep))
 
         if zname is None:
-            ez_n = e_[2].at[1:-1, ysl, :].add(
+            ez_n = et[2].at[1:-1, ysl, :].add(
                 cx.pad(dm[:-1, ..., 3], ((0, 0), (0, 0), (0, 1))) +
                 cx.pad(dm[:-1, ..., 4], ((0, 0), (0, 0), (1, 0))))
         else:
-            ez_n = e_[2].at[1:-1, ysl, :].add(
+            ez_n = et[2].at[1:-1, ysl, :].add(
                 cx.pad(dm[:-1, :, 1:, 3], ((0, 0), (0, 0), (0, 1))) +
                 dm[:-1, ..., 4])
-            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), e_[2]) \
+            dep = _tmap(lambda x: jnp.zeros_like(x[..., :1]), et[2]) \
                 .at[1:-1, ysl, :].add(dm[:-1, :, :1, 3])
-            rem = _tmap(lambda x: lax.ppermute(
-                x, zname, _perms(nz_dev, False)), dep)
-            ez_n = ez_n.at[..., -1:].add(rem)
-        return (ex_n, ey_n, ez_n), None
+            pend_n.append(_tmap(lambda x: lax.ppermute(
+                x, zname, _perms(nz_dev, False)), dep))
+        return ((ex_n, ey_n, ez_n), tuple(pend_n)), None
 
     its = jnp.repeat(jnp.arange(nu), 4)
     cols = jnp.tile(jnp.arange(4), nu)
-    e_out, _ = lax.scan(color_step, (ex, ey, ez), (its, cols))
-    return e_out
+    pend0 = _pend_zeros((ex, ey, ez), yname, zname)
+    (e_out, pend_out), _ = lax.scan(color_step, ((ex, ey, ez), pend0),
+                                    (its, cols))
+    return _apply_pend(e_out, pend_out, yname, zname)

@@ -143,6 +143,69 @@ def test_shmap_smoother_matches_single(smoother_inputs):
         assert _rel(ref, out) < 1e-12, (axes, ndev, _rel(ref, out))
 
 
+def test_shmap_bulk_has_no_collectives(smoother_inputs):
+    """Overlap guarantee, mechanically: the O(volume) bulk of each
+    color step executes OUTSIDE any mesh context.
+
+    ``shmap._point_bulk`` / ``shmap._line_bulk`` are the full residual
+    stencil + block solves each color step runs before its boundary
+    fix.  Calling them under plain jit (no shard_map) proves they
+    contain no collectives — a ppermute without an axis context would
+    raise — so XLA can always schedule the halo exchange under them
+    (SURVEY §2.6 item 1: exchanges overlapped with interior work).
+    """
+    import jax.numpy as jnp
+    from emg3d_tpu.ops import smoothers
+    from emg3d_tpu.ops.blocksolve import (ldl_factor_sparse,
+                                          block_tridiag_factor)
+    from emg3d_tpu.ops.coeffs import (node_coefficients,
+                                      node_block_entries)
+    from emg3d_tpu.parallel import shmap
+
+    lev, e, s = smoother_inputs
+    nx, ny, nz = lev.shape
+    halo = shmap._Halo('y', 'z', 2, 2)
+
+    # Shard-local layout: node- and cell-registered arrays share the
+    # same plane count along sharded axes (the blocked split pads
+    # both to c planes per shard) — crop node extents to ny/nz.
+    def loc(a):
+        return a[:, :ny, :nz]
+
+    e = tuple(loc(a) for a in e)
+    s = tuple(loc(a) for a in s)
+
+    # Extension-shaped source/params built WITHOUT communication (the
+    # values are arbitrary; the test checks executability + finiteness).
+    def z2(a, ky, kz):
+        return halo._ext_zero(halo._ext_zero(a, 2, kz), 1, ky)
+
+    sh = (z2(s[0], 'zero', 'zero'), z2(s[1], 'cell', 'zero'),
+          z2(s[2], 'zero', 'cell'))
+    eta_x, eta_y, eta_z, zeta, hx, hy, hz = lev.arrays
+    par_h = (*(z2(a, 'cell', 'cell')
+               for a in (eta_x, eta_y, eta_z, zeta)),
+             hx, jnp.concatenate([hy[-1:], hy]),
+             jnp.concatenate([hz[-1:], hz]))
+
+    c = node_coefficients(*par_h)
+    fact = ldl_factor_sparse(6, node_block_entries(c))
+    delta, r0 = jax.jit(shmap._point_bulk, static_argnums=4)(
+        e, sh, par_h, fact, halo)
+    # Interior blocks are finite; boundary blocks are garbage by
+    # design (zero halo params) — exactly what the O(surface)
+    # boundary fix overwrites in the real pipeline.
+    assert all(np.isfinite(np.asarray(d[:, 2:-2, 2:-2])).all()
+               for d in delta)
+
+    D, B = smoothers._line_blocks_x(c, e[0], nx)
+    facts = block_tridiag_factor(D, B)
+    padx3 = ((0, 1), (0, 0), (0, 0))
+    dl, _ = jax.jit(shmap._line_bulk, static_argnums=(5, 6))(
+        e, sh, par_h, facts, B, halo, padx3)
+    assert np.isfinite(np.asarray(dl[:, 2:-2, 2:-2])).all()
+
+
 def test_shmap_line_relaxation_matches_single(smoother_inputs):
     """Explicit shard_map line relaxation == single-device kernel.
 
