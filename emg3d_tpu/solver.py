@@ -26,6 +26,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from . import cx, fields, models, utils
 from .ops import smoothers, stencil, transfers
@@ -541,23 +542,33 @@ def _arrays_in_axes(arrays):
 
 
 def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
-            is_top=False, pallas_ok=True, spdt=None):
+            is_top=False, pallas_ok=True, spdt=None, fst_seq=None,
+            pp_seq=None):
     """Recursive (trace-time unrolled) multigrid body.
 
     Mirrors the reference's recursion (solver.py:478-604) including the
     `new_cycmax = cycmax - cyc` F-cycle construction.  ``is_top`` marks
     the level at which the host loop iterates (one body execution per
     call); for fused sub-trees it is False even at relative level 0.
+
+    ``fst_seq``/``pp_seq`` are optional per-level tuples of cached
+    line-factor stacks / point-kernel parameter stacks (relative to
+    ``levels_arrays``'s indexing), threaded into every smoothing call —
+    the chunked whole-cycle jits pass them so the Pallas kernels keep
+    their streamed factors inside fused graphs.
     """
     (nu_pre, nu_coarse, nu_post, cycle, lr_dir) = conf
     arrays = levels_arrays[lvl]
     shape = static[lvl][0]
     nlevels = len(levels_arrays)
+    fst = fst_seq[lvl] if fst_seq is not None else None
+    pp = pp_seq[lvl] if pp_seq is not None else None
 
     if lvl == nlevels - 1:
         # Coarsest grid: nu_coarse smoothing steps act as direct solve.
         return _smooth(e, s, arrays, nu_coarse, lr_dir, shape,
-                       pallas_ok=pallas_ok, spdt=spdt)
+                       pallas_ok=pallas_ok, spdt=spdt, fstacks=fst,
+                       pparams=pp)
 
     if is_top:
         cycmax_here = cycmax
@@ -569,7 +580,8 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
     it = 0
     while it < cycmax_here:
         e = _smooth(e, s, arrays, nu_pre, lr_dir, shape,
-                    pallas_ok=pallas_ok, spdt=spdt)
+                    pallas_ok=pallas_ok, spdt=spdt, fstacks=fst,
+                    pparams=pp)
 
         r = _residual_e(e, s, arrays)
         coarsen = static[lvl][1]
@@ -583,13 +595,14 @@ def _mg_rec(e, s, levels_arrays, static, lvl, cycmax, new_cycmax, conf,
         ec = _mg_rec(ec, rc, levels_arrays, static, lvl + 1,
                      2 if cycle in ['F', 'W'] else 1,
                      cycmax_here - it, conf, pallas_ok=pallas_ok,
-                     spdt=spdt)
+                     spdt=spdt, fst_seq=fst_seq, pp_seq=pp_seq)
 
         e = transfers.prolongate(*e, *ec, pweights, coarsen)
         e = stencil.pec_mask_apply(*e)
 
         e = _smooth(e, s, arrays, nu_post, lr_dir, shape,
-                    pallas_ok=pallas_ok, spdt=spdt)
+                    pallas_ok=pallas_ok, spdt=spdt, fstacks=fst,
+                    pparams=pp)
 
         it += 1
         if is_top:
@@ -1029,6 +1042,127 @@ def get_cycle_fn(levels, conf, nu_init=0):
     return fn
 
 
+# ----------------------------------------------------------------------
+# Chunked cycle dispatch: k top-level cycles per device dispatch.
+#
+# The host-driven cycle pays 3-6 tunnel dispatches per cycle; each
+# costs milliseconds of host/RPC serialization on remote TPU backends
+# (and tens of ms on a loaded tunnel — measured, hw_cycle_breakdown /
+# hw_kernel_stages).  A chunk is ONE jit that scans k full cycles —
+# convergence-norm per cycle computed in-graph and returned as a (k,)
+# array — so the solve runs at device speed regardless of tunnel
+# latency.  Used by multigrid() when the cycle configuration is
+# constant across the chunk (sc/lr rotation ⇒ k=1 chunks, which still
+# collapse the per-cycle dispatch count to one).
+# ----------------------------------------------------------------------
+
+_CHUNK_CYCLES = int(os.environ.get('EMG3D_TPU_CHUNK_CYCLES', 4))
+
+_CHUNK_CACHE = {}
+
+
+def _chunking():
+    """Chunk cycles into single dispatches?  On by default on
+    accelerator backends (where per-dispatch cost is milliseconds);
+    off on CPU (keeps test behavior maximally reference-shaped) unless
+    forced via EMG3D_TPU_CHUNK=1 (the chunked-path CPU tests do)."""
+    env = os.environ.get('EMG3D_TPU_CHUNK')
+    if env is not None:
+        return env not in ('0', 'false', 'False')
+    return jax.default_backend() != 'cpu'
+
+
+def _get_chunk_fn(levels, conf, mode, k, spdt=None):
+    """Jitted k-cycle executor for one of the three cycle forms.
+
+    mode 'std':  e ← MG(e, s)                      carry: e
+    mode 'corr': δ = MG(0, r); e += δ; r = s − Ae  carry: (e, r)
+    mode 'ds':   δ = MG(0, rds); two-float accum   carry: (ehi, elo, rds)
+
+    Returns ``(carry_out, norms)`` with norms[i] the cycle-i residual
+    norm (squared-sum form as in :func:`_norm`), so the host's
+    termination bookkeeping consumes one scalar per cycle from a
+    single fetched array.
+    """
+    static = tuple((lv.shape, lv.coarsen, None,
+                    _freeze(lv.rweights), _freeze(lv.pweights))
+                   for lv in levels)
+    key = (static, conf, mode, k, spdt)
+    if key in _CHUNK_CACHE:
+        return _CHUNK_CACHE[key]
+
+    cycm = 2 if conf[3] in ('F', 'W') else 1
+
+    def chunk_fn(state, s, arrays, weights, fst_seq, pp_seq):
+        st = tuple((sh, co, None, wr, wp)
+                   for (sh, co, _, _, _), (wr, wp)
+                   in zip(static, weights))
+
+        def delta_cycle(rhs):
+            zero = tuple(cx.zeros_like(c) for c in rhs)
+            return _mg_rec(zero, rhs, arrays, st, 0, cycm, 0, conf,
+                           is_top=True, spdt=spdt, fst_seq=fst_seq,
+                           pp_seq=pp_seq)
+
+        if mode == 'std':
+            def body(e_, _):
+                e_ = _mg_rec(e_, s, arrays, st, 0, cycm, 0, conf,
+                             is_top=True, fst_seq=fst_seq,
+                             pp_seq=pp_seq)
+                r = _residual_e(e_, s, arrays[0])
+                return e_, _norm(*r)
+        elif mode == 'corr':
+            def body(carry, _):
+                e_, r_ = carry
+                delta = delta_cycle(r_)
+                e_ = tuple(a + d for a, d in zip(e_, delta))
+                r_ = _residual_e(e_, s, arrays[0])
+                return (e_, r_), _norm(*r_)
+        else:                                       # 'ds'
+            def body(carry, _):
+                ehi, elo, rds = carry
+                delta = delta_cycle(rds)
+                ehi, elo = _ds_accumulate(ehi, elo, delta)
+                rds = _ds_residual(ehi, elo, s, arrays[0])
+                return (ehi, elo, rds), _norm(*rds)
+
+        return lax.scan(body, state, None, length=k)
+
+    fn = jax.jit(chunk_fn)
+    _CHUNK_CACHE[key] = fn
+    return fn
+
+
+def _chunk_k(l2_last, l2_prev, target, kmax, inflight=0):
+    """Adaptive chunk size: predicted cycles until ``target`` (from
+    the observed per-cycle factor), minus work already in flight —
+    bounds the speculative cycles wasted past a convergence or
+    mode-switch threshold to ~1."""
+    if kmax <= 1:
+        return max(1, kmax)
+    if (not l2_last or not l2_prev or l2_prev <= l2_last
+            or l2_last <= 0 or target <= 0):
+        k = min(2, kmax)
+    else:
+        import math
+        fac = l2_last / l2_prev
+        need = math.log(max(target / l2_last, 1e-300)) / math.log(fac)
+        k = max(1, min(kmax, int(math.ceil(need)) + 1 - inflight))
+    # Quantize to {1, 2, 4}: every distinct scan length is a separate
+    # (expensive, remote) chunk compile.
+    return 4 if k >= 4 else (2 if k >= 2 else 1)
+
+
+def _chunk_seqs(levels, conf, spdt=None):
+    """Per-level cached fstacks/pparams tuples for a chunked cycle
+    (probe-compiles every embedded Pallas shape as a side effect)."""
+    fst_seq = tuple(_level_fstacks(lv, conf[4], None, False, spdt=spdt)
+                    for lv in levels)
+    pp_seq = tuple(_level_pparams(lv, conf[4], None, False, pdt=spdt)
+                   for lv in levels)
+    return fst_seq, pp_seq
+
+
 def _freeze(x):
     """Hashable static descriptor of (nested) weight presence."""
     if x is None:
@@ -1296,6 +1430,7 @@ def multigrid(ctx, var, e=None, s=None, track=True):
 
     fine = ctx.levels(int(var.sc_dir))[0]
     l2_last = residual_norm(e, s, fine.arrays)
+    l2_prev = None
     l2_stag = np.ones(var._maxcycle) * l2_last
     # As a Krylov PRECONDITIONER the rhs is an (often unit-normalized)
     # basis vector, not the source: convergence/divergence must be
@@ -1330,8 +1465,15 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     corr = spdt is not None and var.nu_init == 0
     r_plain = None
 
+    # Chunked dispatch: k cycles per device call (one jit scanning the
+    # whole cycle body) removes the 3-6 per-cycle tunnel dispatches.
+    # Conditions: no per-step debug logging, unsharded (the chunk jits
+    # don't annotate meshes), and — for k>1 — a cycle configuration
+    # that is constant across the chunk (sc/lr rotation ⇒ k=1).
+    use_chunks = _chunking() and dbg is None and ctx.sharding is None
+
     while True:
-        # Dispatch cycles (up to `lookahead` in flight, up to maxit).
+        # Dispatch cycles (up to `lookahead` groups in flight).
         while it_disp < var.maxit and len(pending) < lookahead:
             conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
                     int(var.lr_dir))
@@ -1343,7 +1485,54 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                            var.cycle)
             first = False
 
-            if elo is not None:
+            if use_chunks and nu_init == 0:
+                rotating = bool(var.sc_cycle) or bool(var.lr_cycle)
+                if rotating:
+                    kc = 1
+                else:
+                    # Next threshold the host must react at: final
+                    # convergence, or the two-float mode switch.
+                    target = float(var.tol) * refe
+                    if (standalone and elo is None
+                            and _ds_wanted(e, var)):
+                        target = max(target, ds_tau * var.l2_refe)
+                    kc = _chunk_k(l2_last, l2_prev,
+                                  target,
+                                  min(_CHUNK_CYCLES,
+                                      var.maxit - it_disp),
+                                  inflight=it_disp - it)
+                mode = 'ds' if elo is not None else \
+                    ('corr' if corr else 'std')
+                spdt_c = spdt if mode != 'std' else None
+                fst_seq, pp_seq = _chunk_seqs(levels, conf, spdt_c)
+                fn = _get_chunk_fn(levels, conf, mode, kc, spdt_c)
+                arrays = tuple(lv.arrays for lv in levels)
+                weights = tuple((lv.rweights, lv.pweights)
+                                for lv in levels)
+                if mode == 'ds':
+                    state = (e, elo, rds)
+                elif mode == 'corr':
+                    if r_plain is None:
+                        r_plain = _jit_residual(e, s, levels[0].arrays)
+                    state = (e, r_plain)
+                else:
+                    state = e
+                out, norms = fn(state, s, arrays, weights, fst_seq,
+                                pp_seq)
+                if mode == 'ds':
+                    e, elo, rds = out
+                elif mode == 'corr':
+                    e, r_plain = out
+                else:
+                    e = out
+                pending.append(((e, elo), norms, kc))
+                it_disp += kc
+                for _ in range(kc):
+                    if var.sc_cycle:
+                        var.sc_dir = next(var.sc_cycle)
+                    if var.lr_cycle:
+                        var.lr_dir = next(var.lr_cycle)
+            elif elo is not None:
                 # Correction form: δ = MG(0, r) + compensated update.
                 zero = tuple(cx.zeros_like(c) for c in e)
                 delta = run_one_cycle(zero, rds, levels, conf,
@@ -1351,7 +1540,8 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                                       spdt=spdt)
                 e, elo = _ds_accumulate(e, elo, delta)
                 rds = _ds_residual(e, elo, s, levels[0].arrays)
-                pending.append(((e, elo), _norm(*rds)))
+                pending.append(((e, elo), _norm(*rds), 1))
+                it_disp += 1
             elif corr:
                 # Plain-f32 correction form (see above).
                 if r_plain is None:
@@ -1362,54 +1552,74 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                                       spdt=spdt)
                 e = tuple(a + d for a, d in zip(e, delta))
                 r_plain = _jit_residual(e, s, levels[0].arrays)
-                pending.append(((e, None), _norm(*r_plain)))
+                pending.append(((e, None), _norm(*r_plain), 1))
+                it_disp += 1
             else:
                 e = run_one_cycle(e, s, levels, conf, nu_init=nu_init,
                                   sharding=ctx.sharding, dbg=dbg)
                 r = _jit_residual(e, s, levels[0].arrays)
-                pending.append(((e, None), _norm(*r)))
-            it_disp += 1
+                pending.append(((e, None), _norm(*r), 1))
+                it_disp += 1
 
-            # Advance sc/lr schedules (per top-level cycle).
-            if var.sc_cycle:
-                var.sc_dir = next(var.sc_cycle)
-            if var.lr_cycle:
-                var.lr_dir = next(var.lr_cycle)
+            if not (use_chunks and nu_init == 0):
+                # Advance sc/lr schedules (per top-level cycle).
+                if var.sc_cycle:
+                    var.sc_dir = next(var.sc_cycle)
+                if var.lr_cycle:
+                    var.lr_dir = next(var.lr_cycle)
 
             # With lookahead, delay the first check until a second
-            # cycle is in flight.
+            # group is in flight.
             if len(pending) < lookahead and it_disp < var.maxit:
                 continue
 
-        # Check the oldest in-flight cycle (reference bookkeeping:
+        # Check the oldest in-flight group (reference bookkeeping:
         # store the previous error at slot (it-1) BEFORE incrementing,
         # compare the new error against the value of the same cycle
         # type, maxcycle checks ago; solver.py:519-521, 588-604).
-        e_i, nrm_i = pending.popleft()
-        l2_stag[(it - 1) % var._maxcycle] = l2_last
-        it += 1
-        var.it += 1
-        l2_prev = l2_last
-        l2_last = float(nrm_i)
+        # A chunk contributes k per-cycle norms from ONE fetched
+        # array; its state is the chunk-END iterate — if termination
+        # hits mid-chunk the extra cycles are included (they only
+        # further reduce the residual on a CONVERGED exit; on the
+        # pathological DIVERGED/STAGNATED exits the returned iterate
+        # is up to k−1 cycles past the reference's).
+        e_i, nrm_i, k_i = pending.popleft()
+        vals = np.atleast_1d(np.asarray(nrm_i)).astype(float)
+        terminated = False
+        want_ds = False
+        for v in vals:
+            l2_stag[(it - 1) % var._maxcycle] = l2_last
+            it += 1
+            var.it += 1
+            l2_prev = l2_last
+            l2_last = float(v)
 
-        if track:
-            var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
-                                         var.time.elapsed]
-            var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
-            _print_cycle_info(var, l2_last, l2_prev)
+            if track:
+                var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
+                                             var.time.elapsed]
+                var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
+                _print_cycle_info(var, l2_last, l2_prev)
 
-        if _terminate(var, l2_last, l2_stag[(it - 1) % var._maxcycle],
-                      it, refe=refe):
-            # Any further in-flight cycle is simply discarded; var.it
-            # only ever counted checked cycles.
-            result = e_i
-            break
+            if _terminate(var, l2_last,
+                          l2_stag[(it - 1) % var._maxcycle], it,
+                          refe=refe):
+                # Any further in-flight work is simply discarded;
+                # var.it only ever counted checked cycles.
+                terminated = True
+                break
+
+            # Two-float accumulation once the checked error nears the
+            # f32 solution-representation floor (applied to future
+            # dispatches after this group drains).
+            if (standalone and elo is None and not want_ds
+                    and _ds_wanted(e, var)
+                    and l2_last < ds_tau * var.l2_refe):
+                want_ds = True
+
         result = e_i
-
-        # Switch the dispatch chain to two-float accumulation once the
-        # checked error nears the f32 solution-representation floor.
-        if (standalone and elo is None and _ds_wanted(e, var)
-                and l2_last < ds_tau * var.l2_refe):
+        if terminated:
+            break
+        if want_ds and elo is None:
             elo = tuple(cx.zeros_like(c) for c in e)
             rds = _ds_residual(
                 e, elo, s, ctx.levels(int(var.sc_dir))[0].arrays)

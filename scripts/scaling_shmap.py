@@ -2,19 +2,34 @@
 
 Fixed per-device block (nx × ny × base_planes z-cells per device),
 global problem grows with the device count: ideal weak scaling keeps
-the per-call time flat.  Efficiency(n) = T(1) / T(n).
+the per-call time flat.
 
-This is a CPU-host proxy (virtual devices share physical cores, and
-XLA:CPU serializes some collective work), so treat the numbers as a
-lower bound for the structural overhead of the halo pipeline — the
-point is that the halo exchange volume per shard is constant
-(one (nx, ny) plane per color step) while compute per shard is
-constant, i.e., the algorithm is weak-scalable by construction.
+This is a CPU-host proxy with two structural caveats the raw numbers
+must be corrected for:
+
+- 8 virtual XLA:CPU devices oversubscribe the box's physical cores
+  (ncores printed below): beyond ncores shards the per-call ideal is
+  T(1)·ndev/ncores, so the reported efficiency is per-core
+  normalized: eff(n) = T(1)·max(1, n/ncores) / T(n).
+- XLA:CPU runs collectives synchronously (no async
+  collective-permute-start/done pairs in its HLO), so NONE of the
+  engineered halo/compute overlap (shmap._point_bulk runs with no
+  collective dependence) is realizable here — the proxy bounds the
+  pipeline's structural overhead from ABOVE.  The overlap guarantee
+  itself is mechanical: tests/test_parallel.py::
+  test_shmap_bulk_has_no_collectives executes the O(volume) bulk
+  outside any mesh context.
+
+The default per-device block (64×64×32 cells) matches the production
+regime (a 256³ problem over 8 devices holds 32 planes/device); pass a
+different base_planes to stress the surface/volume ratio.
 
 Run:  env PYTHONPATH=/root/repo JAX_PLATFORMS=cpu \
       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-      python scripts/scaling_shmap.py
+      python scripts/scaling_shmap.py [base_planes]
 """
+import os
+import sys
 import time
 
 import numpy as np
@@ -26,7 +41,7 @@ from emg3d_tpu import solver as S
 from emg3d_tpu.parallel import shmap
 
 
-def bench_one(ndev, base_planes=8, nxy=64, nu=2, reps=5):
+def bench_one(ndev, base_planes=32, nxy=64, nu=2, reps=5):
     nz = base_planes * ndev
     rng = np.random.default_rng(7)
     grid = TensorMesh([np.full(nxy, 100.), np.full(nxy, 100.),
@@ -48,24 +63,30 @@ def bench_one(ndev, base_planes=8, nxy=64, nu=2, reps=5):
         return out
 
     run()                       # compile
-    t0 = time.perf_counter()
+    best = np.inf
     for _ in range(reps):
+        t0 = time.perf_counter()
         run()
-    return (time.perf_counter() - t0) / reps
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
-def main():
+def main(base_planes=32):
     navail = len(jax.devices())
+    ncores = os.cpu_count() or navail
+    print(f"virtual devices: {navail}, physical cores: {ncores}, "
+          f"block {64}x{64}x{base_planes} cells/device", flush=True)
     results = {}
     for ndev in (1, 2, 4, 8):
         if ndev > navail:
             break
-        t = bench_one(ndev)
+        t = bench_one(ndev, base_planes=base_planes)
         results[ndev] = t
-        eff = results[1] / t
-        print(f"ndev={ndev}: {t*1e3:8.2f} ms/call "
-              f"(weak-scaling efficiency {eff:5.1%})", flush=True)
+        raw = results[1] / t
+        norm = raw * max(1.0, ndev / ncores)
+        print(f"ndev={ndev}: {t*1e3:8.2f} ms/call  raw eff {raw:5.1%}"
+              f"  per-core-normalized {norm:5.1%}", flush=True)
 
 
 if __name__ == '__main__':
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)

@@ -270,6 +270,51 @@ class TestLaplace:
         assert _rel(e, golden) < 1e-5
 
 
+class TestChunkedCycles:
+    """Chunked k-cycles-per-dispatch path == per-cycle path.
+
+    On TPU backends multigrid() dispatches chunks of cycles as one
+    jitted scan (solver._get_chunk_fn) so the solve runs at device
+    speed regardless of per-dispatch tunnel latency; forced on here
+    (it is off on CPU by default) to pin iteration counts and fields
+    against the per-cycle reference path.
+    """
+
+    def _problem(self):
+        rng = np.random.default_rng(11)
+        n = 16
+        grid = TensorMesh([np.full(n, 100.)] * 3)
+        model = Model(grid,
+                      property_x=rng.uniform(0.5, 5, grid.shape_cells))
+        sfield = SourceField.zeros(grid, frequency=1.0)
+        sfield.fx[n//2, n//2, n//2] = 1.0
+        return grid, model, sfield
+
+    @pytest.mark.parametrize('opts', [
+        dict(cycle='F', sslsolver=False),
+        pytest.param(dict(cycle='F', sslsolver=False,
+                          semicoarsening=True, linerelaxation=True),
+                     marks=pytest.mark.slow),
+        pytest.param(dict(cycle='V', sslsolver='bicgstab'),
+                     marks=pytest.mark.slow),
+    ])
+    def test_matches_per_cycle_path(self, monkeypatch, opts):
+        grid, model, sfield = self._problem()
+        e0, i0 = solve(grid, model, sfield, verb=1, return_info=True,
+                       **opts)
+        monkeypatch.setenv('EMG3D_TPU_CHUNK', '1')
+        e1, i1 = solve(grid, model, sfield, verb=1, return_info=True,
+                       **opts)
+        assert i1['exit_message'] == i0['exit_message'] == 'CONVERGED'
+        assert i1['it_mg'] == i0['it_mg']
+        assert i1['it_ssl'] == i0['it_ssl']
+        rel = (np.linalg.norm(e1.field - e0.field)
+               / np.linalg.norm(e0.field))
+        # The chunk-end state may carry post-convergence cycles; both
+        # iterates satisfy the tolerance.
+        assert rel < 1e-5
+
+
 class TestBehavior:
     """Exit conditions and input validation."""
 
