@@ -1226,13 +1226,26 @@ class _SolveContext:
         self.sharding = _normalize_sharding(sharding)
         self.e_lo = None      # two-float lo stream of the solution
         self._levels = {}
+        # Each sc_dir's hierarchy holds ~2× the fine grid in η/ζ
+        # stacks (plus its factor/param caches); at the 256³ class,
+        # caching all four rotation hierarchies next to the Krylov
+        # working set OOMs the chip (measured) — keep an LRU of 2
+        # there (sc rotation revisits each dir every 3rd cycle; a
+        # rebuild is device-side restriction chains, ≪ a cycle).
+        big = int(np.prod(grid.shape_cells)) > 32_000_000
+        self._levels_cap = int(os.environ.get(
+            'EMG3D_TPU_LEVELS_CACHE', 2 if big else 8))
 
     def levels(self, sc_dir):
         if sc_dir not in self._levels:
+            while len(self._levels) >= max(1, self._levels_cap):
+                self._levels.pop(next(iter(self._levels)))
             clevel = int(self.var.clevel[int(sc_dir)])
             self._levels[sc_dir] = build_levels(
                 self.grid, self.vmodel, int(sc_dir), clevel, self.dtype,
                 split=self.split)
+        else:
+            self._levels[sc_dir] = self._levels.pop(sc_dir)  # LRU bump
         return self._levels[sc_dir]
 
 

@@ -14,6 +14,21 @@ if 'xla_force_host_platform_device_count' not in flags:
         flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
+# XLA:CPU's LLVM JIT creates ~10k small mmaps PER compiled multigrid
+# cycle configuration (measured: /proc/<pid>/maps grows ~10k per
+# (sc, lr) piece set on the 8-device mesh); the kernel default
+# vm.max_map_count=65530 then kills compiles mid-suite with "LLVM
+# compilation error: Cannot allocate memory" followed by a segfault.
+# Raise it (root; best-effort) — this, not compiler state size, was
+# the root cause of the historical flaky full-suite segfaults.
+try:
+    with open('/proc/sys/vm/max_map_count') as _f:
+        if int(_f.read()) < 1048576:
+            with open('/proc/sys/vm/max_map_count', 'w') as _g:
+                _g.write('4194304')
+except (OSError, ValueError):
+    pass
+
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')

@@ -218,7 +218,8 @@ def test_shmap_line_relaxation_matches_single(smoother_inputs):
 
     lev, e, s = smoother_inputs
     cases = {0: [(('z',), 4), (('y',), 4), (('y', 'z'), 8)],
-             1: [(('z',), 4)], 2: [(('y',), 4)]}
+             1: [(('z',), 4), (('y',), 4), (('y', 'z'), 8)],
+             2: [(('y',), 4), (('z',), 4), (('y', 'z'), 8)]}
     for ax, meshes in cases.items():
         ref = smoothers.line_relaxation(*e, *s, *lev.arrays, nu=2,
                                         axis=ax)
@@ -229,13 +230,10 @@ def test_shmap_line_relaxation_matches_single(smoother_inputs):
                 e, s, lev.arrays, nu=2, shape=lev.shape, mesh=mesh,
                 axis=ax)
             assert _rel(ref, out) < 1e-12, (ax, axes, _rel(ref, out))
-    # Sharded line axes are rejected.
+    # A sharded line axis needs >= 4 stations per shard (width-2
+    # station halos + a nonempty interior).
     assert not shmap.supported_line(
-        parallel.make_mesh(4, axes=('y',)), lev.shape, 1)
-    assert not shmap.supported_line(
-        parallel.make_mesh(4, axes=('z',)), lev.shape, 2)
-    assert not shmap.supported_line(
-        parallel.make_mesh(8, axes=('y', 'z')), lev.shape, 1)
+        parallel.make_mesh(8, axes=('y',)), lev.shape, 1)
 
 
 @pytest.mark.slow
@@ -245,16 +243,21 @@ def test_shmap_lr_solve_matches_single(problem):
     e0, info0 = solve(grid, model, sfield, cycle='F', verb=1,
                       linerelaxation=True, semicoarsening=True,
                       return_info=True)
-    mesh = parallel.make_mesh(4, axes=('z',))
-    e1, info1 = solve(grid, model, sfield, cycle='F', verb=1,
-                      linerelaxation=True, semicoarsening=True,
-                      return_info=True,
-                      sharding=parallel.shard_solve_options(
-                          mesh, min_local_planes=2))
-    assert info1['exit_message'] == 'CONVERGED'
-    assert info1['it_mg'] == info0['it_mg']
-    rel = np.linalg.norm(e1.field - e0.field) / np.linalg.norm(e0.field)
-    assert rel < 1e-10
+    # 1-D z mesh AND the 2-D (y, z) mesh: on the latter every lr axis
+    # runs the explicit pipeline — y/z lines through the substructured
+    # distributed Thomas solve (the line axis itself is sharded).
+    for ndev, axes in [(4, ('z',)), (8, ('y', 'z'))]:
+        mesh = parallel.make_mesh(ndev, axes=axes)
+        e1, info1 = solve(grid, model, sfield, cycle='F', verb=1,
+                          linerelaxation=True, semicoarsening=True,
+                          return_info=True,
+                          sharding=parallel.shard_solve_options(
+                              mesh, min_local_planes=2))
+        assert info1['exit_message'] == 'CONVERGED'
+        assert info1['it_mg'] == info0['it_mg'], axes
+        rel = (np.linalg.norm(e1.field - e0.field)
+               / np.linalg.norm(e0.field))
+        assert rel < 1e-10, (axes, rel)
 
 
 def test_distributed_init():
