@@ -32,6 +32,8 @@ def main():
     from emg3d_tpu import TensorMesh, Model, SourceField, Field, solve
     from emg3d_tpu import solver as S
 
+    T_START = time.perf_counter()
+
     n = 64
     grid = TensorMesh([np.full(n, 100.)] * 3)
     model = Model(grid, property_x=1.0, mapping='Resistivity')
@@ -108,6 +110,32 @@ def main():
     t_solve = it * t_cycle + t_fetch
     dof = 3 * n**3
     dof_s = dof / t_solve
+
+    # 3. Production configuration (semicoarsening + line relaxation —
+    # the reference's default gridding config minus the Krylov wrap):
+    # a second figure so regressions on the sc+lr path are driver-
+    # visible (VERDICT r3 #3).  Time-budgeted: the headline JSON line
+    # must survive even if the lr kernels' cold remote compile runs
+    # long.
+    prod = 'skipped (time budget)'
+    if time.perf_counter() - T_START < 1200:
+        try:
+            solve(grid, model, sfield, cycle='F', verb=1, tol=tol,
+                  semicoarsening=True, linerelaxation=True)  # compile
+            t0 = time.perf_counter()
+            _, pinfo = solve(grid, model, sfield, cycle='F', verb=1,
+                             tol=tol, semicoarsening=True,
+                             linerelaxation=True, return_info=True)
+            t_prod = time.perf_counter() - t0
+            assert pinfo['exit_message'] == 'CONVERGED', pinfo
+            prod = {
+                'warm_solve_s': round(t_prod, 3),
+                'it_mg': pinfo['it_mg'],
+                'rel': float(f"{pinfo['rel_error']:.2e}"),
+            }
+        except Exception as exc:           # never cost the headline
+            prod = f'failed: {type(exc).__name__}: {exc}'[:200]
+
     print(json.dumps({
         'metric': f'DOF/s device-resident, 64^3 fullspace F-cycle to '
                   f'{tol:.0e} ({it} cycles x {t_cycle*1e3:.1f} ms, '
@@ -116,6 +144,7 @@ def main():
         'value': round(dof_s, 1),
         'unit': 'DOF/s',
         'vs_baseline': round(dof_s / REF_BASELINE_DOF_S, 3),
+        'prod_sclr_64': prod,
     }))
 
 
