@@ -71,40 +71,40 @@ def main():
 
     # The production standalone f32 cycle is correction form (δ =
     # MG(0, r), e += δ, r re-evaluated — licenses bfloat16 s/params
-    # streaming in the smoothers); time exactly that chain, residual
-    # evaluation included.  Falls back to the direct-form chain when
-    # the bf16 mode is off (f64, EMG3D_TPU_BF16_SMOOTH=0).
-    from emg3d_tpu import cx as _cx
+    # streaming in the smoothers) and, since round 4, dispatched as
+    # CHUNKED jits (cycle + residual + norm in one device call,
+    # solver._get_chunk_fn).  Time exactly that chain at k=1 — the
+    # same compiled graphs the step-1 solve used.  Falls back to the
+    # 'std' chunk when the bf16 mode is off (f64).
     spdt = S._smooth_spdt(ctx.e)
+    mode = 'std' if spdt is None else 'corr'
+    fst_seq, pp_seq = S._chunk_seqs(levels, conf, spdt)
+    chunk = S._get_chunk_fn(levels, conf, mode, 1, spdt)
+    arrays = tuple(lv.arrays for lv in levels)
+    weights = tuple((lv.rweights, lv.pweights) for lv in levels)
 
-    def one_cycle(ee, rr):
-        # Either mode pays the per-cycle residual evaluation the
-        # production convergence check computes (the pre-round-3 bench
-        # loop left it untimed — ~5% flattering).
-        if spdt is None:
-            ee = S.run_one_cycle(ee, ctx.s, levels, conf)
-            rr = S._jit_residual(ee, ctx.s, levels[0].arrays)
-            return ee, rr
-        zero = tuple(_cx.zeros_like(c) for c in ee)
-        delta = S.run_one_cycle(zero, rr, levels, conf, spdt=spdt)
-        ee = tuple(a + d for a, d in zip(ee, delta))
-        rr = S._jit_residual(ee, ctx.s, levels[0].arrays)
-        return ee, rr
+    def one_cycle(state):
+        return chunk(state, ctx.s, arrays, weights, fst_seq, pp_seq)[0]
+
+    if mode == 'corr':
+        state0 = (ctx.e, S._jit_residual(ctx.e, ctx.s,
+                                         levels[0].arrays))
+    else:
+        state0 = ctx.e
 
     # Warm.
-    rr = S._jit_residual(ctx.e, ctx.s, levels[0].arrays)
-    ee, rr = one_cycle(ctx.e, rr)
-    fetch_scalar(ee)
+    state = one_cycle(state0)
+    fetch_scalar(state)
     t0 = time.perf_counter()
-    fetch_scalar(ee)
+    fetch_scalar(state)
     t_fetch = time.perf_counter() - t0
 
     reps = 3 * it
     t0 = time.perf_counter()
-    ee = ctx.e
+    state = state0
     for _ in range(reps):
-        ee, rr = one_cycle(ee, rr)
-    fetch_scalar(ee)
+        state = one_cycle(state)
+    fetch_scalar(state)
     t_cycle = (time.perf_counter() - t0 - t_fetch) / reps
 
     t_solve = it * t_cycle + t_fetch

@@ -2852,6 +2852,9 @@ def solve_batched(grid, model, sfields, cycle='F', semicoarsening=False,
     ctx.dtype = np.asarray(sfields[0].fx).dtype
     ctx.sharding = None
     ctx._levels = {}
+    big = int(np.prod(grid.shape_cells)) > 32_000_000
+    ctx._levels_cap = int(os.environ.get('EMG3D_TPU_LEVELS_CACHE',
+                                         2 if big else 8))
 
     refe = np.array([float(sf.norm()) for sf in sfields])
     var.l2_refe = float(refe.max())

@@ -25,20 +25,28 @@ def main(n=256):
     sfield = SourceField.zeros(grid, frequency=1.0)
     np.asarray(sfield.fx)[n//2, n//2, n//2] = 1.0
 
-    t0 = time.time()
-    e, info = solve(grid, model, sfield, sslsolver=True,
-                    semicoarsening=True, linerelaxation=True,
-                    tol=1e-6, verb=2, return_info=True)
-    print(f"cold: {time.time()-t0:.1f} s {info['exit_message']} "
-          f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
-          f"it_mg={info['it_mg']}", flush=True)
-    t0 = time.time()
-    e, info = solve(grid, model, sfield, sslsolver=True,
-                    semicoarsening=True, linerelaxation=True,
-                    tol=1e-6, verb=1, return_info=True)
-    print(f"warm: {time.time()-t0:.1f} s {info['exit_message']} "
-          f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
-          f"it_mg={info['it_mg']}", flush=True)
+    def run(tag, **kw):
+        t0 = time.time()
+        e, info = solve(grid, model, sfield, semicoarsening=True,
+                        linerelaxation=True, tol=1e-6,
+                        return_info=True, **kw)
+        print(f"{tag}: {time.time()-t0:.1f} s {info['exit_message']} "
+              f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
+              f"it_mg={info['it_mg']}", flush=True)
+
+    try:
+        run('cold sslsolver+sc+lr', sslsolver=True, verb=2)
+        run('warm sslsolver+sc+lr', sslsolver=True, verb=1)
+    except Exception as exc:
+        # The full Krylov working set (~7 fields = 5.6 GB at 256³)
+        # may not fit next to the hierarchy on a 16 GB chip — fall
+        # back to the standalone MG config (same smoothers, two-float
+        # refinement to a true 1e-6, no Krylov vectors) so the run
+        # still records an end-to-end 256³ solve.
+        print(f"sslsolver failed ({type(exc).__name__}); "
+              f"standalone sc+lr fallback:", flush=True)
+        run('cold sc+lr F-cycles', cycle='F', sslsolver=False, verb=2)
+        run('warm sc+lr F-cycles', cycle='F', sslsolver=False, verb=1)
 
 
 if __name__ == '__main__':
