@@ -34,17 +34,27 @@ def main(n=256):
               f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
               f"it_mg={info['it_mg']}", flush=True)
 
-    try:
-        run('cold sslsolver+sc+lr', sslsolver=True, verb=2)
-        run('warm sslsolver+sc+lr', sslsolver=True, verb=1)
-    except Exception as exc:
+    mode = sys.argv[2] if len(sys.argv) > 2 else 'ssl'
+    failed = None
+    if mode == 'ssl':
+        try:
+            run('cold sslsolver+sc+lr', sslsolver=True, verb=2)
+            run('warm sslsolver+sc+lr', sslsolver=True, verb=1)
+        except Exception as exc:
+            failed = type(exc).__name__
+    if mode == 'mg' or failed:
         # The full Krylov working set (~7 fields = 5.6 GB at 256³)
         # may not fit next to the hierarchy on a 16 GB chip — fall
         # back to the standalone MG config (same smoothers, two-float
         # refinement to a true 1e-6, no Krylov vectors) so the run
-        # still records an end-to-end 256³ solve.
-        print(f"sslsolver failed ({type(exc).__name__}); "
-              f"standalone sc+lr fallback:", flush=True)
+        # still records an end-to-end 256³ solve.  The fallback runs
+        # OUTSIDE the except block (the live traceback would pin the
+        # dead run's device arrays) after a GC pass.
+        if failed:
+            print(f"sslsolver failed ({failed}); standalone sc+lr "
+                  f"fallback:", flush=True)
+        import gc
+        gc.collect()
         run('cold sc+lr F-cycles', cycle='F', sslsolver=False, verb=2)
         run('warm sc+lr F-cycles', cycle='F', sslsolver=False, verb=1)
 
