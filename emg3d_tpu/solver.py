@@ -1058,6 +1058,13 @@ def get_cycle_fn(levels, conf, nu_init=0):
 
 _CHUNK_CYCLES = int(os.environ.get('EMG3D_TPU_CHUNK_CYCLES', 4))
 
+# Whole-cycle chunk jits hold every level's temporaries live at once;
+# above this fine-grid size the piecewise host-driven path is used
+# instead (measured: the 256³ sc+lr chunk compile plans >12 GB of HLO
+# temp and OOMs the chip at compile time).
+_CHUNK_MAX_CELLS = int(os.environ.get('EMG3D_TPU_CHUNK_MAX_CELLS',
+                                      33_000_000))
+
 _CHUNK_CACHE = {}
 
 
@@ -1481,9 +1488,15 @@ def multigrid(ctx, var, e=None, s=None, track=True):
     # Chunked dispatch: k cycles per device call (one jit scanning the
     # whole cycle body) removes the 3-6 per-cycle tunnel dispatches.
     # Conditions: no per-step debug logging, unsharded (the chunk jits
-    # don't annotate meshes), and — for k>1 — a cycle configuration
-    # that is constant across the chunk (sc/lr rotation ⇒ k=1).
-    use_chunks = _chunking() and dbg is None and ctx.sharding is None
+    # don't annotate meshes), a fine grid below the chunk-memory
+    # ceiling (a whole-cycle jit holds every level's temporaries —
+    # incl. inline-rebuilt line-factor stacks — LIVE at once: at 256³
+    # that is >12 GB of HLO temp and the compile itself OOMs the
+    # 16 GB chip; the piecewise host-driven path frees between
+    # pieces), and — for k>1 — a cycle configuration that is constant
+    # across the chunk (sc/lr rotation ⇒ k=1).
+    use_chunks = (_chunking() and dbg is None and ctx.sharding is None
+                  and int(np.prod(fine.shape)) <= _CHUNK_MAX_CELLS)
 
     while True:
         # Dispatch cycles (up to `lookahead` groups in flight).
