@@ -647,10 +647,10 @@ def _constrain(x, mesh):
 # smoothing jit (the elimination is one scan per smoothing call, like
 # the XLA path always paid).  Measured: an unmetered 256³ sc+lr
 # hierarchy accumulated ~16 GB of per-level caches and OOMed the chip.
-_FSTACK_CACHE_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_BYTES',
-                                         256_000_000))
-_FSTACK_EVICT_BYTES = int(os.environ.get('EMG3D_TPU_FSTACK_EVICT',
-                                         8_000_000_000))
+_FSTACK_CACHE_BYTES = int(float(os.environ.get('EMG3D_TPU_FSTACK_BYTES',
+                                               256_000_000)))
+_FSTACK_EVICT_BYTES = int(float(os.environ.get('EMG3D_TPU_FSTACK_EVICT',
+                                               8_000_000_000)))
 
 
 def _level_fstacks(lev, lr_dir, mesh=None, batch=False, spdt=None):
@@ -1061,9 +1061,10 @@ _CHUNK_CYCLES = int(os.environ.get('EMG3D_TPU_CHUNK_CYCLES', 4))
 # Whole-cycle chunk jits hold every level's temporaries live at once;
 # above this fine-grid size the piecewise host-driven path is used
 # instead (measured: the 256³ sc+lr chunk compile plans >12 GB of HLO
-# temp and OOMs the chip at compile time).
-_CHUNK_MAX_CELLS = int(os.environ.get('EMG3D_TPU_CHUNK_MAX_CELLS',
-                                      33_000_000))
+# temp and OOMs the chip at compile time — the default ceiling must
+# therefore EXCLUDE 256³ = 16,777,216 cells).
+_CHUNK_MAX_CELLS = int(float(os.environ.get('EMG3D_TPU_CHUNK_MAX_CELLS',
+                                            16_000_000)))
 
 _CHUNK_CACHE = {}
 
@@ -1147,17 +1148,24 @@ def _chunk_k(l2_last, l2_prev, target, kmax, inflight=0):
     mode-switch threshold to ~1."""
     if kmax <= 1:
         return max(1, kmax)
-    if (not l2_last or not l2_prev or l2_prev <= l2_last
-            or l2_last <= 0 or target <= 0):
+    if l2_last and l2_prev and l2_last > 0 and l2_prev <= l2_last:
+        # Non-improving cycle: divergence/stagnation termination may
+        # hit mid-chunk (the chunk-END iterate bakes in the extra
+        # divergent cycles) — react per cycle.
+        return 1
+    if not l2_last or not l2_prev or l2_last <= 0 or target <= 0:
         k = min(2, kmax)
     else:
         import math
         fac = l2_last / l2_prev
         need = math.log(max(target / l2_last, 1e-300)) / math.log(fac)
         k = max(1, min(kmax, int(math.ceil(need)) + 1 - inflight))
-    # Quantize to {1, 2, 4}: every distinct scan length is a separate
-    # (expensive, remote) chunk compile.
-    return 4 if k >= 4 else (2 if k >= 2 else 1)
+    # Quantize to powers of two (≤ kmax): every distinct scan length
+    # is a separate (expensive, remote) chunk compile.
+    q = 1
+    while q * 2 <= min(k, kmax):
+        q *= 2
+    return q
 
 
 def _chunk_seqs(levels, conf, spdt=None):
@@ -1613,7 +1621,14 @@ def multigrid(ctx, var, e=None, s=None, track=True):
         vals = np.atleast_1d(np.asarray(nrm_i)).astype(float)
         terminated = False
         want_ds = False
-        for v in vals:
+        # Under chunked dispatch one wall-clock reading covers all k
+        # cycles of the group — interpolate timestamps linearly so
+        # error-vs-runtime curves stay per-cycle shaped.
+        if track:
+            t_prev = (float(var.runtime_at_cycle[-1])
+                      if len(var.runtime_at_cycle) else 0.0)
+            t_now = var.time.elapsed
+        for j, v in enumerate(vals):
             l2_stag[(it - 1) % var._maxcycle] = l2_last
             it += 1
             var.it += 1
@@ -1621,8 +1636,9 @@ def multigrid(ctx, var, e=None, s=None, track=True):
             l2_last = float(v)
 
             if track:
-                var.runtime_at_cycle = np.r_[var.runtime_at_cycle,
-                                             var.time.elapsed]
+                var.runtime_at_cycle = np.r_[
+                    var.runtime_at_cycle,
+                    t_prev + (t_now - t_prev) * (j + 1) / len(vals)]
                 var.error_at_cycle = np.r_[var.error_at_cycle, l2_last]
                 _print_cycle_info(var, l2_last, l2_prev)
 

@@ -10,6 +10,7 @@ import pytest
 
 from emg3d_tpu import (TensorMesh, Model, SourceField, Field, solve,
                        get_h_field)
+from emg3d_tpu import solver
 
 import helpers
 
@@ -313,6 +314,26 @@ class TestChunkedCycles:
         # The chunk-end state may carry post-convergence cycles; both
         # iterates satisfy the tolerance.
         assert rel < 1e-5
+
+    def test_chunk_gate_excludes_256(self):
+        # The whole-cycle chunk jit at 256³ plans >12 GB of HLO temps
+        # and OOMs the chip at COMPILE time (DESIGN §6) — the default
+        # ceiling must route 256³ to the piecewise host-driven path.
+        assert int(np.prod((256, 256, 256))) > solver._CHUNK_MAX_CELLS
+        assert int(np.prod((128, 128, 128))) <= solver._CHUNK_MAX_CELLS
+
+    def test_chunk_k_policy(self):
+        # Non-improving residual (divergence/stagnation risk): react
+        # per cycle so the chunk-end iterate can't bake in up to k-1
+        # extra divergent cycles.
+        assert solver._chunk_k(2.0, 1.0, 1e-6, 4) == 1
+        assert solver._chunk_k(1.0, 1.0, 1e-6, 4) == 1
+        # Healthy factor far from target: saturate at kmax.
+        assert solver._chunk_k(1e-2, 1e-1, 1e-9, 4) == 4
+        # kmax above 4 is honored (powers of two, not capped at 4).
+        assert solver._chunk_k(1e-2, 1e-1, 1e-30, 8) == 8
+        # Near the target: stay small.
+        assert solver._chunk_k(2e-6, 2e-5, 1e-6, 4) <= 2
 
 
 class TestBehavior:
