@@ -1141,6 +1141,134 @@ def _get_chunk_fn(levels, conf, mode, k, spdt=None):
     return fn
 
 
+def _get_chunk_fn_multi(levels_seq, conf_seq, mode, spdt=None):
+    """Jitted k-cycle executor where each cycle carries its OWN
+    (levels, conf) — the sc/lr schedule rotation folded into one
+    device dispatch (round-4 rotating configs were locked to k=1
+    chunks; the reference's default sslsolver+sc+lr config therefore
+    paid a tunnel round trip per cycle — VERDICT r4 #3).
+
+    The body is unrolled (trace-time Python loop) over ``conf_seq``
+    since each cycle's static configuration differs.  Dispatched with
+    one full rotation period per chunk the conf sequence repeats
+    exactly, so every chunk after the first reuses one compile.
+
+    Modes as :func:`_get_chunk_fn` plus ``'pre'``: a fixed-cycle
+    preconditioner application e = MG_k(0, r) — no norms computed or
+    fetched, signature ``fn(r, arrays_seq, weights_seq, fst_seqs,
+    pp_seqs) -> e``.
+    """
+    static_seq = tuple(
+        tuple((lv.shape, lv.coarsen, None,
+               _freeze(lv.rweights), _freeze(lv.pweights))
+              for lv in levels)
+        for levels in levels_seq)
+    key = ('multi', static_seq, conf_seq, mode, spdt)
+    if key in _CHUNK_CACHE:
+        return _CHUNK_CACHE[key]
+
+    def one(e_, rhs, i, arrays, weights, fst_seq, pp_seq, use_spdt):
+        conf = conf_seq[i]
+        st = tuple((sh, co, None, wr, wp)
+                   for (sh, co, _, _, _), (wr, wp)
+                   in zip(static_seq[i], weights))
+        cycm = 2 if conf[3] in ('F', 'W') else 1
+        return _mg_rec(e_, rhs, arrays, st, 0, cycm, 0, conf,
+                       is_top=True, spdt=spdt if use_spdt else None,
+                       fst_seq=fst_seq, pp_seq=pp_seq)
+
+    if mode == 'pre':
+        def chunk_fn(r, arrays_seq, weights_seq, fst_seqs, pp_seqs):
+            e_ = tuple(cx.zeros_like(c) for c in r)
+            for i in range(len(conf_seq)):
+                e_ = one(e_, r, i, arrays_seq[i], weights_seq[i],
+                         fst_seqs[i], pp_seqs[i], True)
+            return e_
+    else:
+        def chunk_fn(state, s, arrays_seq, weights_seq, fst_seqs,
+                     pp_seqs):
+            norms = []
+            for i in range(len(conf_seq)):
+                a_i, w_i = arrays_seq[i], weights_seq[i]
+                f_i, p_i = fst_seqs[i], pp_seqs[i]
+                if mode == 'std':
+                    state = one(state, s, i, a_i, w_i, f_i, p_i, False)
+                    norms.append(_norm(*_residual_e(state, s, a_i[0])))
+                elif mode == 'corr':
+                    e_, r_ = state
+                    zero = tuple(cx.zeros_like(c) for c in r_)
+                    delta = one(zero, r_, i, a_i, w_i, f_i, p_i, True)
+                    e_ = tuple(a + d for a, d in zip(e_, delta))
+                    r_ = _residual_e(e_, s, a_i[0])
+                    state = (e_, r_)
+                    norms.append(_norm(*r_))
+                else:                                   # 'ds'
+                    ehi, elo, rds = state
+                    zero = tuple(cx.zeros_like(c) for c in rds)
+                    delta = one(zero, rds, i, a_i, w_i, f_i, p_i, True)
+                    ehi, elo = _ds_accumulate(ehi, elo, delta)
+                    rds = _ds_residual(ehi, elo, s, a_i[0])
+                    state = (ehi, elo, rds)
+                    norms.append(_norm(*rds))
+            return state, jnp.stack(norms)
+
+    fn = jax.jit(chunk_fn)
+    _CHUNK_CACHE[key] = fn
+    return fn
+
+
+def _chunk_args_multi(levels_seq, conf_seq, spdt=None):
+    """Per-cycle (arrays, weights, fstacks, pparams) input tuples for a
+    multi-conf chunk."""
+    arrays_seq = tuple(tuple(lv.arrays for lv in levels)
+                       for levels in levels_seq)
+    weights_seq = tuple(tuple((lv.rweights, lv.pweights)
+                              for lv in levels)
+                        for levels in levels_seq)
+    seqs = tuple(_chunk_seqs(lv, cf, spdt)
+                 for lv, cf in zip(levels_seq, conf_seq))
+    fst_seqs = tuple(sq[0] for sq in seqs)
+    pp_seqs = tuple(sq[1] for sq in seqs)
+    return arrays_seq, weights_seq, fst_seqs, pp_seqs
+
+
+def _collect_rotation(ctx, var, k):
+    """Consume k steps of the sc/lr schedules, returning the per-cycle
+    (conf, levels) sequences the multi-conf chunk will run.  Cycle i
+    uses the dirs that were current before its dispatch — identical
+    bookkeeping to the per-cycle host loop."""
+    conf_seq, levels_seq = [], []
+    for _ in range(k):
+        conf_seq.append((var.nu_pre, var.nu_coarse, var.nu_post,
+                         var.cycle, int(var.lr_dir)))
+        levels_seq.append(ctx.levels(int(var.sc_dir)))
+        if var.sc_cycle:
+            var.sc_dir = next(var.sc_cycle)
+        if var.lr_cycle:
+            var.lr_dir = next(var.lr_cycle)
+    return tuple(conf_seq), tuple(levels_seq)
+
+
+def _rotation_period(var):
+    """Length of the combined (sc_dir, lr_dir) rotation schedule."""
+    import math
+    a = len(var._raw_sc_cycle) if var.sc_cycle else 1
+    b = len(var._raw_lr_cycle) if var.lr_cycle else 1
+    return a * b // math.gcd(a, b)
+
+
+def _rotation_chunk_k(var, kmax):
+    """Chunk size for rotating configs: the largest divisor of the
+    rotation period that fits ``kmax`` — divisors keep the dispatch
+    phase fixed, so the multi-conf chunk compiles once and is reused
+    for every subsequent chunk of the solve."""
+    per = _rotation_period(var)
+    k = min(per, max(1, kmax))
+    while per % k:
+        k -= 1
+    return k
+
+
 def _chunk_k(l2_last, l2_prev, target, kmax, inflight=0):
     """Adaptive chunk size: predicted cycles until ``target`` (from
     the observed per-cycle factor), minus work already in flight —
@@ -1522,7 +1650,16 @@ def multigrid(ctx, var, e=None, s=None, track=True):
             if use_chunks and nu_init == 0:
                 rotating = bool(var.sc_cycle) or bool(var.lr_cycle)
                 if rotating:
-                    kc = 1
+                    # One full rotation period (or a divisor of it —
+                    # fixed dispatch phase = one compile) per chunk;
+                    # react per-cycle when the residual stopped
+                    # improving (divergence/stagnation can terminate
+                    # mid-chunk and the chunk-END iterate would bake
+                    # in the extra divergent cycles).
+                    kc = _rotation_chunk_k(var, var.maxit - it_disp)
+                    if (l2_last and l2_prev and l2_last > 0
+                            and l2_prev <= l2_last):
+                        kc = 1
                 else:
                     # Next threshold the host must react at: final
                     # convergence, or the two-float mode switch.
@@ -1538,11 +1675,6 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                 mode = 'ds' if elo is not None else \
                     ('corr' if corr else 'std')
                 spdt_c = spdt if mode != 'std' else None
-                fst_seq, pp_seq = _chunk_seqs(levels, conf, spdt_c)
-                fn = _get_chunk_fn(levels, conf, mode, kc, spdt_c)
-                arrays = tuple(lv.arrays for lv in levels)
-                weights = tuple((lv.rweights, lv.pweights)
-                                for lv in levels)
                 if mode == 'ds':
                     state = (e, elo, rds)
                 elif mode == 'corr':
@@ -1551,8 +1683,22 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                     state = (e, r_plain)
                 else:
                     state = e
-                out, norms = fn(state, s, arrays, weights, fst_seq,
-                                pp_seq)
+                if rotating:
+                    conf_seq, levels_seq = _collect_rotation(
+                        ctx, var, kc)
+                    fn = _get_chunk_fn_multi(levels_seq, conf_seq,
+                                             mode, spdt_c)
+                    margs = _chunk_args_multi(levels_seq, conf_seq,
+                                              spdt_c)
+                    out, norms = fn(state, s, *margs)
+                else:
+                    fst_seq, pp_seq = _chunk_seqs(levels, conf, spdt_c)
+                    fn = _get_chunk_fn(levels, conf, mode, kc, spdt_c)
+                    arrays = tuple(lv.arrays for lv in levels)
+                    weights = tuple((lv.rweights, lv.pweights)
+                                    for lv in levels)
+                    out, norms = fn(state, s, arrays, weights, fst_seq,
+                                    pp_seq)
                 if mode == 'ds':
                     e, elo, rds = out
                 elif mode == 'corr':
@@ -1561,11 +1707,12 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                     e = out
                 pending.append(((e, elo), norms, kc))
                 it_disp += kc
-                for _ in range(kc):
-                    if var.sc_cycle:
-                        var.sc_dir = next(var.sc_cycle)
-                    if var.lr_cycle:
-                        var.lr_dir = next(var.lr_cycle)
+                if not rotating:
+                    for _ in range(kc):
+                        if var.sc_cycle:
+                            var.sc_dir = next(var.sc_cycle)
+                        if var.lr_cycle:
+                            var.lr_dir = next(var.lr_cycle)
             elif elo is not None:
                 # Correction form: δ = MG(0, r) + compensated update.
                 zero = tuple(cx.zeros_like(c) for c in e)
@@ -3283,9 +3430,25 @@ def _precond_fixed_cycles(ctx, var, r, batch, cycles=None):
     s/params in bfloat16 (_smooth_spdt): the O(2⁻⁸) update bias only
     perturbs the preconditioner, never the solution.
     """
-    e = tuple(cx.zeros_like(c) for c in r)
     spdt = _smooth_spdt(r)
-    for _ in range(var.maxit if cycles is None else cycles):
+    n = var.maxit if cycles is None else cycles
+
+    fine = ctx.levels(int(var.sc_dir))[0]
+    if (not batch and _chunking() and ctx.sharding is None
+            and int(np.prod(fine.shape)) <= _CHUNK_MAX_CELLS):
+        # All n preconditioner cycles (rotation included) as ONE
+        # jitted dispatch — no norms are computed, so a Krylov
+        # iteration's 2 preconditioner applications cost 2 async
+        # dispatches instead of ~3 cycles x several pieces each.
+        # The default n equals the schedule length, so the dispatch
+        # phase is fixed and the chunk compiles once per solve shape.
+        conf_seq, levels_seq = _collect_rotation(ctx, var, n)
+        var.it += n
+        fn = _get_chunk_fn_multi(levels_seq, conf_seq, 'pre', spdt)
+        return fn(r, *_chunk_args_multi(levels_seq, conf_seq, spdt))
+
+    e = tuple(cx.zeros_like(c) for c in r)
+    for _ in range(n):
         conf = (var.nu_pre, var.nu_coarse, var.nu_post, var.cycle,
                 int(var.lr_dir))
         levels = ctx.levels(int(var.sc_dir))
