@@ -69,6 +69,21 @@ def main():
         leaf = jax.tree_util.tree_leaves(x)[0]
         return float(abs(leaf.ravel()[0]))
 
+    # Tunnel RTT: one trivial jit dispatch + scalar fetch (the
+    # hw_sanity pattern).  Emitted next to the headline so a future
+    # regression is distinguishable from a bad-tunnel day (measured
+    # drift: 30 -> 430 ms in one day, DESIGN §7).
+    import jax.numpy as jnp
+    tick = jax.jit(lambda x: x + 1.0)
+    zz = jnp.zeros((), jnp.float32)
+    float(tick(zz))                                   # compile/warm
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tick(zz))
+        rtts.append(time.perf_counter() - t0)
+    rtt_ms = 1e3 * sorted(rtts)[len(rtts) // 2]
+
     # The production standalone f32 cycle is correction form (δ =
     # MG(0, r), e += δ, r re-evaluated — licenses bfloat16 s/params
     # streaming in the smoothers) and, since round 4, dispatched as
@@ -105,7 +120,30 @@ def main():
     for _ in range(reps):
         state = one_cycle(state)
     fetch_scalar(state)
-    t_cycle = (time.perf_counter() - t0 - t_fetch) / reps
+    t_cycle_k1 = (time.perf_counter() - t0 - t_fetch) / reps
+
+    # In-jit repetitions (VERDICT r4 #5): K cycles per dispatch via the
+    # k=K chunk (one lax.scan inside one jit — the only timing pattern
+    # that is meaningful over the tunnel, CLAUDE.md r4 item 10).  The
+    # k=1 loop above stays as a diagnostic: its gap to this figure is
+    # the per-dispatch serialization cost, which is what drifts with
+    # tunnel weather.
+    K = 4
+    chunk_k = S._get_chunk_fn(levels, conf, mode, K, spdt)
+
+    def k_cycles(state):
+        return chunk_k(state, ctx.s, arrays, weights, fst_seq,
+                       pp_seq)[0]
+
+    state = k_cycles(state0)                          # compile/warm
+    fetch_scalar(state)
+    nk = max(1, reps // K)
+    t0 = time.perf_counter()
+    state = state0
+    for _ in range(nk):
+        state = k_cycles(state)
+    fetch_scalar(state)
+    t_cycle = (time.perf_counter() - t0 - t_fetch) / (nk * K)
 
     t_solve = it * t_cycle + t_fetch
     dof = 3 * n**3
@@ -144,6 +182,8 @@ def main():
         'value': round(dof_s, 1),
         'unit': 'DOF/s',
         'vs_baseline': round(dof_s / REF_BASELINE_DOF_S, 3),
+        'rtt_ms': round(rtt_ms, 1),
+        't_cycle_k1_ms': round(t_cycle_k1 * 1e3, 2),
         'prod_sclr_64': prod,
     }))
 

@@ -140,3 +140,108 @@ def test_bf16_sp_streams_close_to_f32():
         db = np.asarray(cx.tocomplex(b))
         rel = np.linalg.norm(db - da) / max(np.linalg.norm(da), 1e-30)
         assert rel < 2e-2, rel
+
+
+class TestResident:
+    """VMEM-resident kernel variant (see pallas_gs._kernel_resident):
+    the whole padded state stays in VMEM across every color step, so
+    per-step HBM re-streaming disappears.  Parity with the streaming
+    kernel to ULP-level tolerance — same update math, different data
+    movement."""
+
+    def _both(self, shape, seed=3, nu=2, sp_dt=None):
+        from emg3d_tpu.ops import pallas_gs
+        e, s, par = _setup(shape, seed=seed)
+        assert pallas_gs._resident_plan(shape) is not None
+        res = gauss_seidel_point_pallas(e, s, par, nu=nu, shape=shape,
+                                        interpret=True, _sp_dt=sp_dt)
+        try:
+            pallas_gs._RESIDENT_OFF.add(tuple(shape))
+            gauss_seidel_point_pallas.clear_cache()
+            stream = gauss_seidel_point_pallas(
+                e, s, par, nu=nu, shape=shape, interpret=True,
+                _sp_dt=sp_dt)
+        finally:
+            pallas_gs._RESIDENT_OFF.discard(tuple(shape))
+            gauss_seidel_point_pallas.clear_cache()
+        return res, stream
+
+    def _close(self, stream, res):
+        # Same math, different data movement: XLA may contract FMAs
+        # differently between the two lowerings, so parity is to a
+        # few-ULP norm tolerance (measured rel ~1e-6 over nu=2), not
+        # bitwise.
+        for a, b in zip(stream, res):
+            a = np.asarray(cx.tocomplex(a))
+            b = np.asarray(cx.tocomplex(b))
+            rel = (np.linalg.norm(b - a)
+                   / max(np.linalg.norm(a), 1e-30))
+            assert rel < 1e-5, rel
+
+    @pytest.mark.parametrize('shape', [
+        (12, 8, 8),
+        (20, 8, 8),        # multiple x tiles (tx=16 -> 2 tiles)
+        (16, 10, 6),       # padded y/z extents
+    ])
+    def test_matches_streaming_kernel(self, shape):
+        res, stream = self._both(shape)
+        self._close(stream, res)
+
+    def test_matches_streaming_bf16_streams(self):
+        res, stream = self._both((12, 10, 8), seed=6,
+                                 sp_dt=jnp.bfloat16)
+        self._close(stream, res)
+
+    def test_plan_rejects_oversized_state(self):
+        from emg3d_tpu.ops import pallas_gs
+        # 128^3-class padded state (~380 MB f32) cannot be resident.
+        assert pallas_gs._resident_plan((128, 128, 128)) is None
+        assert pallas_gs._resident_plan((64, 64, 64)) is not None
+
+    def test_probe_failure_disables_pattern(self, monkeypatch):
+        """A failing resident compile must (a) globally disable the
+        pattern and (b) leave the shape usable via the streaming
+        kernel."""
+        from emg3d_tpu.ops import pallas_gs
+
+        shape = (12, 8, 8)
+        monkeypatch.setattr(pallas_gs, '_ENABLED', True)
+        monkeypatch.setattr(pallas_gs, '_mosaic_target', lambda: True)
+        monkeypatch.setattr(pallas_gs, '_POINT_OK', {})
+        monkeypatch.setattr(pallas_gs, '_RESIDENT_OFF', set())
+        monkeypatch.setattr(pallas_gs, '_RESIDENT_PATTERN', [None])
+
+        attempts = []
+
+        def fake_compile(shp, dt, tx, tyl):
+            resident = (pallas_gs._resident_plan(shp) is not None
+                        and tuple(shp) not in pallas_gs._RESIDENT_OFF
+                        and tx is None and tyl is None)
+            attempts.append('resident' if resident else 'streaming')
+            if resident:
+                raise RuntimeError("mosaic reject")
+
+        monkeypatch.setattr(pallas_gs, '_try_compile', fake_compile)
+        assert pallas_gs.point_probe(shape, risk_fraction=0.0) is True
+        assert attempts == ['resident', 'streaming']
+        assert pallas_gs._RESIDENT_PATTERN[0] is False
+        assert pallas_gs._resident_plan(shape) is None
+
+    def test_probe_success_proves_pattern(self, monkeypatch):
+        from emg3d_tpu.ops import pallas_gs
+
+        shape = (12, 8, 8)
+        monkeypatch.setattr(pallas_gs, '_ENABLED', True)
+        monkeypatch.setattr(pallas_gs, '_mosaic_target', lambda: True)
+        monkeypatch.setattr(pallas_gs, '_POINT_OK', {})
+        monkeypatch.setattr(pallas_gs, '_RESIDENT_OFF', set())
+        monkeypatch.setattr(pallas_gs, '_RESIDENT_PATTERN', [None])
+        monkeypatch.setattr(pallas_gs, '_try_compile',
+                            lambda *a: None)
+        assert pallas_gs.point_probe(shape, risk_fraction=0.0) is True
+        assert pallas_gs._RESIDENT_PATTERN[0] is True
+        # Pattern proven: low-risk resident shapes are now trusted
+        # without further compiles.
+        monkeypatch.setattr(pallas_gs, '_try_compile',
+                            lambda *a: 1/0)
+        assert pallas_gs.point_probe((8, 8, 8)) is True
