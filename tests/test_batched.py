@@ -142,6 +142,7 @@ def test_batched_bicgstab_matches_single(problem):
         assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_batched_cgs_matches_single(problem):
     """Batched CGS (the second batched Krylov family) == per-source."""
     grid, model = problem
@@ -160,6 +161,7 @@ def test_batched_cgs_matches_single(problem):
         assert rel < 1e-5
 
 
+@pytest.mark.slow
 def test_simulation_batched_default_opts(problem):
     """The default (sslsolver) Simulation path batches sources too."""
     grid, model = problem
@@ -220,6 +222,7 @@ def _to_c64(sf):
                        frequency=sf._frequency)
 
 
+@pytest.mark.slow
 def test_batched_f32_true_1e6_mg(problem):
     """float32 batched multigrid reaches a true 1e-6 via the two-float
     correction mode (plain storage floors at ~2-4e-6)."""

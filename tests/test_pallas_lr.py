@@ -47,6 +47,7 @@ def test_pallas_line_rotated_axes(axis):
             atol=2e-5)
 
 
+@pytest.mark.slow
 def test_solver_dispatches_pallas_line(monkeypatch):
     """_level_fstacks + _smooth route lr sweeps through the kernel.
 

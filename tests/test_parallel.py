@@ -47,6 +47,7 @@ def test_sharded_solve_matches_single(problem):
     assert rel < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_solve_2d_mesh(problem):
     grid, model, sfield = problem
     e0 = solve(grid, model, sfield, cycle='V', verb=1)
@@ -206,6 +207,7 @@ def test_shmap_bulk_has_no_collectives(smoother_inputs):
     assert np.isfinite(np.asarray(dl[:, 2:-2, 2:-2])).all()
 
 
+@pytest.mark.slow
 def test_shmap_line_relaxation_matches_single(smoother_inputs):
     """Explicit shard_map line relaxation == single-device kernel.
 

@@ -67,6 +67,7 @@ class TestHomogeneousVTI:
         assert info['it_ssl'] <= 6  # reference: 3 ssl steps on 8^3 case
         assert _rel(e, golden) < 1e-5
 
+    @pytest.mark.slow
     def test_cgs_device_scalars(self, setup, monkeypatch):
         """Device-resident CGS path converges like the host path."""
         monkeypatch.setenv('EMG3D_TPU_SPLIT', '1')
@@ -94,6 +95,7 @@ class TestHomogeneousVTI:
         assert info['exit_message'] == 'CONVERGED'
         assert _rel(e, golden) < 1e-5
 
+    @pytest.mark.slow
     def test_gcrotmk_split_f32_true_1e6(self, setup, monkeypatch):
         """Split-pair GCROT(m,k) reaches a TRUE 1e-6 via refinement.
 
