@@ -61,7 +61,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import cx
 from . import stencil
-from .blocksolve import ldl_solve_sparse
+from .blocksolve import ldl_solve_factored, ldl_solve_sparse
 from .coeffs import NodeCoeffs, node_block_entries
 
 __all__ = ['gauss_seidel_point_pallas', 'point_params', 'supported',
@@ -560,9 +560,29 @@ _RESIDENT_OFF = set()
 _RESIDENT_PATTERN = [None]
 
 
+# Strict-lower factor entries of the 6×6 node-block LDLᵀ (fixed
+# sparsity incl. the (3,2) fill-in) — the plane order of pack_factors'
+# stack: [L[k].re, L[k].im for k in _LKEYS] + [dinv[i].re/.im × 6].
+_LKEYS = ((2, 0), (2, 1), (3, 0), (3, 1), (3, 2), (4, 0), (4, 1),
+          (4, 2), (4, 3), (5, 0), (5, 1), (5, 2), (5, 3), (5, 4))
+_NFPLANES = 2 * (len(_LKEYS) + 6)          # 40
+
+
 def _resident_plan(shape, sp_bytes=4):
-    """(tx, n_xtiles) when the whole padded 21-plane state plus a
+    """(tx, n_xtiles, factor_dtype) when the whole padded state — the
+    21 e/s/p planes PLUS the 40 precomputed-LDLᵀ factor planes — and a
     full-y compute slab fit the resident VMEM budget; None otherwise.
+
+    The factor planes are the point of the resident variant: the
+    measured kernel breakdown (scripts/hw_kernel_stages.py, v5e, 64³
+    nu=2: 2.56 ms total of which coefficient assembly + factor+solve
+    is 1.98 ms and DMA ≤ 0.2 ms) shows the streaming kernel is
+    COMPUTE-bound on re-factorizing the field-independent 6×6 blocks
+    every color step — so the resident variant streams factors
+    computed once per level and runs substitution only.  Factors
+    prefer f32 storage; bfloat16 (the ops/pallas_lr precedent —
+    factors only multiply the f32 in-kernel residual, the fixed point
+    is exact) when f32 does not fit.
 
     ``sp_bytes`` is the s/p-stream storage width (2 when the solver
     licenses bfloat16 streams).  The compute slab uses the same PLANES
@@ -574,30 +594,67 @@ def _resident_plan(shape, sp_bytes=4):
         return None
     Yp, Zp, NXP = padded_dims(shape)
     plane = NXP * Yp * Zp
-    base = (6 * 4 + 15 * sp_bytes) * plane + 4 * (NXP + Yp + 3) * Zp
-    avail = RESIDENT_VMEM_LIMIT - base
-    xl = avail // (PLANES * Yp * Zp * 4)
-    if xl < 7:
-        return None
-    tx = max(4, min(int(xl) - 3, _TX_CAP, nx - 1))
-    return tx, -(-(nx - 1) // tx)
+    for f_bytes, fdt in ((4, None), (2, 'bfloat16')):
+        base = (6 * 4 + 15 * sp_bytes + _NFPLANES * f_bytes) * plane \
+            + 4 * (NXP + Yp + 3) * Zp
+        avail = RESIDENT_VMEM_LIMIT - base
+        xl = avail // (PLANES * Yp * Zp * 4)
+        if xl < 7:
+            continue
+        tx = max(4, min(int(xl) - 3, _TX_CAP, nx - 1))
+        return tx, -(-(nx - 1) // tx), fdt
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=('shape', 'min_yp',
+                                             'min_zp', 'fdtype'))
+def pack_factors(arrays, shape, min_yp=0, min_zp=0, fdtype=None):
+    """Precomputed node-block LDLᵀ factors in the padded layout.
+
+    Field-independent (reference core.py:321-403: the blocks depend on
+    model coefficients only) — built once per level beside the
+    :func:`pack_params` stack; the resident kernel then runs
+    SUBSTITUTION only per color step instead of re-deriving
+    coefficients and re-factorizing 8·nu times.
+    """
+    from .coeffs import node_coefficients
+    from .blocksolve import ldl_factor_sparse
+    dt = cx.real_dtype_of(arrays[0])
+    fdt = dt if fdtype is None else jnp.dtype(fdtype)
+    dims = padded_dims(shape, min_yp, min_zp)
+    nb = tuple(s - 1 for s in shape)
+
+    c = node_coefficients(*arrays)
+    L, dinv = ldl_factor_sparse(6, node_block_entries(c))
+    planes = []
+    for k in _LKEYS:
+        planes.extend(_padC(cx.broadcast_to(L[k], nb), 1, 1, 1,
+                            dims, fdt))
+    for i in range(6):
+        planes.extend(_padC(cx.broadcast_to(dinv[i], nb), 1, 1, 1,
+                            dims, fdt))
+    return jnp.stack(planes)
 
 
 def _kernel_resident(colors_ref, *refs, tx, nx, nyz, nsteps, n_xtiles):
     """One (color-step, x-tile) unit against VMEM-resident state.
 
-    refs: HBM inputs [estack, sstack, pstack], VMEM inputs [ihx, ihy,
-    ihz], HBM output [e_out], VMEM scratch [e_res, s_res, p_res], DMA
-    semaphores.  Same update math as :func:`_kernel`; slabs are direct
-    vector loads/stores on the resident refs (x is an untiled leading
-    dim, so dynamic offsets are unconstrained) instead of per-step HBM
-    DMAs.
+    refs: HBM inputs [estack, sstack, pstack, fstack], VMEM inputs
+    [ihx, ihy, ihz], HBM output [e_out], VMEM scratch [e_res, s_res,
+    p_res, f_res], DMA semaphores.  Residual/scatter math as
+    :func:`_kernel`, but the 6×6 node blocks are NOT re-derived and
+    re-factorized per color step — the fstack carries the
+    once-per-level LDLᵀ factors (:func:`pack_factors`), so each step
+    runs substitution only (the measured 77% of the streaming kernel's
+    device time was coefficient assembly + factorization).  Slabs are
+    direct vector loads/stores on the resident refs (x is an untiled
+    leading dim, so dynamic offsets are unconstrained).
     """
     ny, nz = nyz
     XL = tx + 3
-    (e_hbm, s_hbm, p_hbm, ihx_r, ihy_r, ihz_r, e_out) = refs[0:7]
-    e_res, s_res, p_res = refs[7], refs[8], refs[9]
-    sems = refs[10]
+    (e_hbm, s_hbm, p_hbm, f_hbm, ihx_r, ihy_r, ihz_r, e_out) = refs[0:8]
+    e_res, s_res, p_res, f_res = refs[8], refs[9], refs[10], refs[11]
+    sems = refs[12]
 
     step = pl.program_id(0)
     xtile = pl.program_id(1)
@@ -606,7 +663,8 @@ def _kernel_resident(colors_ref, *refs, tx, nx, nyz, nsteps, n_xtiles):
     def _copy_in():
         cps = [pltpu.make_async_copy(e_hbm, e_res, sems.at[0]),
                pltpu.make_async_copy(s_hbm, s_res, sems.at[1]),
-               pltpu.make_async_copy(p_hbm, p_res, sems.at[2])]
+               pltpu.make_async_copy(p_hbm, p_res, sems.at[2]),
+               pltpu.make_async_copy(f_hbm, f_res, sems.at[3])]
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -648,34 +706,13 @@ def _kernel_resident(colors_ref, *refs, tx, nx, nyz, nsteps, n_xtiles):
                                (ihx, ihy, ihz))
     rb = [dnx(rx), rx, dny(ry), ry, dnz(rz), rz]
 
-    kxm = dnx(ihx) * 0.5
-    kxp = ihx * 0.5
-    kym = dny(ihy) * 0.5
-    kyp = ihy * 0.5
-    kzm = dnz(ihz) * 0.5
-    kzp = ihz * 0.5
-    wzm = dnx(wz)
-    wym = dnx(wy)
-    c = NodeCoeffs(
-        mzyLxm=kym * dny(wzm), mzyRxm=kyp * wzm,
-        myzLxm=kzm * dnz(wym), myzRxm=kzp * wym,
-        mzyLxp=kym * dny(wz), mzyRxp=kyp * wz,
-        myzLxp=kzm * dnz(wy), myzRxp=kzp * wy,
-        mzxLym=kxm * dny(wzm), mzxRym=kxp * dny(wz),
-        mxzLym=kzm * dny(dnz(wx)), mxzRym=kzp * dny(wx),
-        mzxLyp=kxm * wzm, mzxRyp=kxp * wz,
-        mxzLyp=kzm * dnz(wx), mxzRyp=kzp * wx,
-        myxLzm=kxm * dnz(wym), myxRzm=kxp * dnz(wy),
-        mxyLzm=kym * dny(dnz(wx)), mxyRzm=kyp * dnz(wx),
-        myxLzp=kxm * wym, myxRzp=kxp * wy,
-        mxyLzp=kym * dny(wx), mxyRzp=kyp * wx,
-        st0=dnx(stx), st1=stx, st2=dny(sty), st3=sty,
-        st4=dnz(stz), st5=stz,
-        ihxm=dnx(ihx), ihxp=ihx, ihym=dny(ihy), ihyp=ihy,
-        ihzm=dnz(ihz), ihzp=ihz,
-    )
-    entries = node_block_entries(c)
-    delta = ldl_solve_sparse(6, entries, rb)
+    def F(i):
+        return cx.C2(_up(f_res[2 * i, pl.ds(x0, XL)]),
+                     _up(f_res[2 * i + 1, pl.ds(x0, XL)]))
+
+    L = {key: F(i) for i, key in enumerate(_LKEYS)}
+    dinv = [F(len(_LKEYS) + i) for i in range(6)]
+    delta = ldl_solve_factored(6, L, dinv, rb)
 
     color = colors_ref[step]
     px_ = color % 2
@@ -857,26 +894,42 @@ def point_probe(shape, dt=jnp.float32, risk_fraction=0.25):
 
 def point_params(arrays, shape, pdtype=None):
     """Cached-parameter entry point: the (9,·) stack + ih arrays laid
-    out for :func:`gauss_seidel_point_pallas`'s default tiling."""
+    out for :func:`gauss_seidel_point_pallas`'s default tiling — plus,
+    when the shape dispatches to the VMEM-resident variant, the
+    once-per-level LDLᵀ factor stack (:func:`pack_factors`)."""
     min_yp = point_layout(shape)[5]
-    return pack_params(tuple(arrays), shape, min_yp=min_yp,
+    base = pack_params(tuple(arrays), shape, min_yp=min_yp,
                        pdtype=pdtype)
+    sp_b = 4 if pdtype is None else jnp.dtype(pdtype).itemsize
+    plan = _resident_plan(shape, sp_bytes=sp_b)
+    if plan is not None and min_yp == 0 \
+            and tuple(shape) not in _RESIDENT_OFF:
+        fstack = pack_factors(tuple(arrays), shape, fdtype=plan[2])
+        return (*base, fstack)
+    return base
 
 
 def _point_resident_call(e, s, arrays, params, seq, shape, dt, _sp_dt,
                          plan, interpret):
     """Trace the VMEM-resident pallas_call (see _kernel_resident)."""
     nx, ny, nz = shape
-    tx, n_xtiles = plan
+    tx, n_xtiles, fdt = plan
     Yp, Zp, NXP = padded_dims(shape)
     spdt = dt if _sp_dt is None else _sp_dt
+    fdt_c = dt if fdt is None else jnp.dtype(fdt)
 
+    fstack = None
     if params is not None and params[0].shape == (9, NXP, Yp, Zp) \
             and params[0].dtype == spdt:
-        pstack, ihx_p, ihy_p, ihz_p = params
+        pstack, ihx_p, ihy_p, ihz_p = params[:4]
+        if len(params) > 4 and params[4] is not None \
+                and params[4].dtype == fdt_c:
+            fstack = params[4]
     else:
         pstack, ihx_p, ihy_p, ihz_p = pack_params(
             tuple(arrays), shape, pdtype=_sp_dt)
+    if fstack is None:
+        fstack = pack_factors(tuple(arrays), shape, fdtype=fdt)
     estack, sstack = pack_fields(e, s, shape, sdtype=_sp_dt)
 
     colors = jnp.asarray(np.array(seq, dtype=np.int32))
@@ -886,14 +939,15 @@ def _point_resident_call(e, s, arrays, params, seq, shape, dt, _sp_dt,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(len(seq), n_xtiles),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 +
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4 +
                  [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((6, NXP, Yp, Zp), dt),
             pltpu.VMEM((6, NXP, Yp, Zp), spdt),
             pltpu.VMEM((9, NXP, Yp, Zp), spdt),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((_NFPLANES, NXP, Yp, Zp), fdt_c),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     out = pl.pallas_call(
@@ -902,7 +956,7 @@ def _point_resident_call(e, s, arrays, params, seq, shape, dt, _sp_dt,
         out_shape=jax.ShapeDtypeStruct((6, NXP, Yp, Zp), dt),
         interpret=interpret,
         compiler_params=_compiler_params(RESIDENT_VMEM_LIMIT),
-    )(colors, estack, sstack, pstack, ihx_p, ihy_p, ihz_p)
+    )(colors, estack, sstack, pstack, fstack, ihx_p, ihy_p, ihz_p)
     return unpack_efield(out, (e[0].shape, e[1].shape, e[2].shape))
 
 
@@ -957,7 +1011,7 @@ def gauss_seidel_point_pallas(e, s, arrays, nu, shape, params=None,
     Yp, Zp, NXP = padded_dims(shape, min_yp)
     if params is not None and params[0].shape == (9, NXP, Yp, Zp) \
             and params[0].dtype == spdt:
-        pstack, ihx_p, ihy_p, ihz_p = params
+        pstack, ihx_p, ihy_p, ihz_p = params[:4]
     else:
         pstack, ihx_p, ihy_p, ihz_p = pack_params(
             tuple(arrays), shape, min_yp=min_yp, pdtype=_sp_dt)
