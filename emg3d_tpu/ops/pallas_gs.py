@@ -601,7 +601,12 @@ def _resident_plan(shape, sp_bytes=4):
         xl = avail // (PLANES * Yp * Zp * 4)
         if xl < 7:
             continue
-        tx = max(4, min(int(xl) - 3, _TX_CAP, nx - 1))
+        # tx may never exceed nx-1: the slab is (tx+3) wide and a
+        # too-wide slab DMAs out of bounds — a TPU worker FAULT at
+        # runtime, not a compile error (hit on the (2,2,2)-class
+        # coarsest levels of real solves; the standalone probe only
+        # compiles, it cannot catch OOB).
+        tx = max(1, min(int(xl) - 3, _TX_CAP, nx - 1))
         return tx, -(-(nx - 1) // tx), fdt
     return None
 

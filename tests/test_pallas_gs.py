@@ -186,6 +186,8 @@ class TestResident:
         (12, 8, 8),
         (20, 8, 8),        # multiple x tiles (tx=16 -> 2 tiles)
         (16, 10, 6),       # padded y/z extents
+        (2, 2, 2),         # coarsest-level class: tx clamps to nx-1
+        (4, 4, 4),
     ])
     def test_matches_streaming_kernel(self, shape):
         res, stream = self._both(shape)
@@ -265,3 +267,14 @@ class TestResident:
         monkeypatch.setattr(pallas_gs, '_try_compile',
                             lambda *a: 1/0)
         assert pallas_gs.point_probe((8, 8, 8)) is True
+
+
+def test_resident_plan_tx_never_exceeds_grid():
+    """tx > nx-1 makes the slab DMA out of bounds — a runtime TPU
+    worker FAULT the compile-only probe cannot catch (hit on the
+    (2,2,2)-class coarsest levels of real solves)."""
+    from emg3d_tpu.ops import pallas_gs
+    for shape in [(2, 2, 2), (3, 4, 4), (4, 4, 4), (5, 8, 8)]:
+        plan = pallas_gs._resident_plan(shape)
+        assert plan is not None
+        assert plan[0] <= shape[0] - 1, (shape, plan)
