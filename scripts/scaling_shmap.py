@@ -41,7 +41,8 @@ from emg3d_tpu import solver as S
 from emg3d_tpu.parallel import shmap
 
 
-def bench_one(ndev, base_planes=32, nxy=64, nu=2, reps=5):
+def bench_one(ndev, base_planes=32, nxy=64, nu=2, reps=5,
+              kind='point'):
     nz = base_planes * ndev
     rng = np.random.default_rng(7)
     grid = TensorMesh([np.full(nxy, 100.), np.full(nxy, 100.),
@@ -57,8 +58,18 @@ def bench_one(ndev, base_planes=32, nxy=64, nu=2, reps=5):
     mesh = parallel.make_mesh(ndev, axes=('z',))
 
     def run():
-        out = shmap.gauss_seidel_point_shmap(e, s, lev.arrays, nu=nu,
-                                             shape=lev.shape, mesh=mesh)
+        if kind == 'point':
+            out = shmap.gauss_seidel_point_shmap(
+                e, s, lev.arrays, nu=nu, shape=lev.shape, mesh=mesh)
+        else:
+            # z-lines ALONG the sharded z axis: the substructured
+            # _line_body_xsh path (interior Thomas + spike solves +
+            # redundant length-ndev interface solve; per color step
+            # one neighbor ppermute + one all_gather of the 5-vector
+            # interface rhs).
+            out = shmap.line_relaxation_shmap(
+                e, s, lev.arrays, nu=nu, shape=lev.shape, mesh=mesh,
+                axis=2)
         jax.block_until_ready(out)
         return out
 
@@ -76,16 +87,20 @@ def main(base_planes=32):
     ncores = os.cpu_count() or navail
     print(f"virtual devices: {navail}, physical cores: {ncores}, "
           f"block {64}x{64}x{base_planes} cells/device", flush=True)
-    results = {}
-    for ndev in (1, 2, 4, 8):
-        if ndev > navail:
-            break
-        t = bench_one(ndev, base_planes=base_planes)
-        results[ndev] = t
-        raw = results[1] / t
-        norm = raw * max(1.0, ndev / ncores)
-        print(f"ndev={ndev}: {t*1e3:8.2f} ms/call  raw eff {raw:5.1%}"
-              f"  per-core-normalized {norm:5.1%}", flush=True)
+    for kind in ('point', 'line-z'):
+        print(f"-- {kind} smoother "
+              f"({'8-color node blocks' if kind == 'point' else 'distributed z-lines along the sharded axis'})",
+              flush=True)
+        results = {}
+        for ndev in (1, 2, 4, 8):
+            if ndev > navail:
+                break
+            t = bench_one(ndev, base_planes=base_planes, kind=kind)
+            results[ndev] = t
+            raw = results[1] / t
+            norm = raw * max(1.0, ndev / ncores)
+            print(f"ndev={ndev}: {t*1e3:8.2f} ms/call  raw eff {raw:5.1%}"
+                  f"  per-core-normalized {norm:5.1%}", flush=True)
 
 
 if __name__ == '__main__':
