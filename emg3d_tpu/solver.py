@@ -1655,11 +1655,22 @@ def multigrid(ctx, var, e=None, s=None, track=True):
                     # react per-cycle when the residual stopped
                     # improving (divergence/stagnation can terminate
                     # mid-chunk and the chunk-END iterate would bake
-                    # in the extra divergent cycles).
+                    # in the extra divergent cycles) or when the
+                    # predicted cycles-to-target are fewer than the
+                    # chunk (an overshot sc+lr cycle costs far more
+                    # device time than an extra dispatch).
                     kc = _rotation_chunk_k(var, var.maxit - it_disp)
-                    if (l2_last and l2_prev and l2_last > 0
-                            and l2_prev <= l2_last):
-                        kc = 1
+                    if l2_last and l2_prev and l2_last > 0:
+                        if l2_prev <= l2_last:
+                            kc = 1
+                        else:
+                            import math
+                            fac = l2_last / l2_prev
+                            need = (math.log(max(float(var.tol) * refe
+                                                 / l2_last, 1e-300))
+                                    / math.log(fac))
+                            if need - (it_disp - it) <= kc - 0.5:
+                                kc = 1
                 else:
                     # Next threshold the host must react at: final
                     # convergence, or the two-float mode switch.
