@@ -34,6 +34,15 @@ def main(n=256):
               f"rel={info['rel_error']:.2e} it_ssl={info['it_ssl']} "
               f"it_mg={info['it_mg']}", flush=True)
 
+    def gc_pause():
+        # Between runs: drop every dead device buffer before the next
+        # solve re-uploads its hierarchy (the warm repeat of a run
+        # that peaked near the HBM limit otherwise OOMs on leftover
+        # fragmentation — measured round 5).
+        import gc
+        gc.collect()
+        time.sleep(2)
+
     mode = sys.argv[2] if len(sys.argv) > 2 else 'ssl'
     failed = None
     if mode == 'ssl':
@@ -56,6 +65,7 @@ def main(n=256):
         import gc
         gc.collect()
         run('cold sc+lr F-cycles', cycle='F', sslsolver=False, verb=2)
+        gc_pause()
         run('warm sc+lr F-cycles', cycle='F', sslsolver=False, verb=1)
 
 
