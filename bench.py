@@ -160,11 +160,18 @@ def main():
         try:
             solve(grid, model, sfield, cycle='F', verb=1, tol=tol,
                   semicoarsening=True, linerelaxation=True)  # compile
-            t0 = time.perf_counter()
-            _, pinfo = solve(grid, model, sfield, cycle='F', verb=1,
-                             tol=tol, semicoarsening=True,
-                             linerelaxation=True, return_info=True)
-            t_prod = time.perf_counter() - t0
+            # Min of two warm repeats: the solve's ~6.5 MB result
+            # download rides the tunnel (18 MB/s nominal, drifting) —
+            # a single reading mixes >1 s of transfer weather into a
+            # ~1.3 s figure (measured 1.611 vs 2.701 s on identical
+            # code within two hours).
+            t_prod = np.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                _, pinfo = solve(grid, model, sfield, cycle='F',
+                                 verb=1, tol=tol, semicoarsening=True,
+                                 linerelaxation=True, return_info=True)
+                t_prod = min(t_prod, time.perf_counter() - t0)
             assert pinfo['exit_message'] == 'CONVERGED', pinfo
             prod = {
                 'warm_solve_s': round(t_prod, 3),
